@@ -1,0 +1,178 @@
+"""Runtime and model configuration for the TPU-native GLiClass engine.
+
+The reference engine (GLiClass.c) splits configuration across three static tiers:
+compile-time macros (reference include/configs.h:4-7), CLI argv (reference main.c:54-67),
+and the exported model's config.json (reference ONNX_CONVERTING/convert_to_onnx.py:19-28).
+Here everything is a runtime dataclass: one :class:`RuntimeConfig` for engine knobs and
+one :class:`GLiClassConfig` (+ backbone config) shipped inside the weight bundle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+# Defaults mirror reference include/configs.h:4-7 (BATCH_SIZE 8, MAX_LENGTH 2048,
+# THRESHOLD 0.5f, NUM_THREADS 8) but are runtime-configurable, not compile-time.
+DEFAULT_BATCH_SIZE = 8
+DEFAULT_MAX_LENGTH = 2048
+DEFAULT_THRESHOLD = 0.5
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Engine knobs (replaces reference include/configs.h + argv contract).
+
+    ``prompt_first`` mirrors the second CLI argument of the reference binary
+    (reference main.c:54-67); in this framework it normally comes from the model
+    bundle's config and can be overridden here.
+    """
+
+    batch_size: int = DEFAULT_BATCH_SIZE
+    max_length: int = DEFAULT_MAX_LENGTH
+    threshold: float = DEFAULT_THRESHOLD
+    # XLA wants static shapes: pad each batch up to the nearest of these buckets
+    # instead of the reference's pad-to-batch-max (reference src/tokenizer.c:44-54),
+    # which would trigger one recompile per distinct batch max-length.
+    seq_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+    # Bucketing for the number of candidate labels per text (scoring-head width).
+    label_buckets: tuple[int, ...] = (4, 8, 16, 32, 64)
+    # "float32" for parity testing, "bfloat16" for TPU serving.
+    compute_dtype: str = "bfloat16"
+    # "none" (use bundle dtype) | "int8" (weight-only INT8 pallas path)
+    quant_mode: str = "none"
+    # Mesh axes sizes: data parallel x model (tensor) parallel. (1, 1) = single chip.
+    dp_size: int = 1
+    tp_size: int = 1
+    # Tokenization host-parallelism.
+    tokenizer_workers: int = 8
+    # Use the native C++ host ops (prompt packing / batch assembly) when built.
+    use_native_host_ops: bool = True
+
+    def bucket_for_seq(self, length: int) -> int:
+        for b in self.seq_buckets:
+            if length <= b:
+                return b
+        return self.seq_buckets[-1]
+
+    def bucket_for_labels(self, n: int) -> int:
+        for b in self.label_buckets:
+            if n <= b:
+                return b
+        return self.label_buckets[-1]
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """Hyperparameters for the encoder backbone.
+
+    ``model_type`` selects the architecture family:
+      - "deberta-v2": DeBERTa-v2/v3 disentangled-attention encoders
+        (knowledgator/gliclass-{small,base,large}-v1.0 backbones)
+      - "llama": Llama-style decoder backbone (gliclass-llama-1.3B-v1.0)
+      - "qwen2": Qwen2-style decoder backbone (gliclass-qwen-1.5B-v1.0)
+
+    The reference engine cannot run the decoder-backbone models through its
+    launcher at all (reference Readme.md:91-95); supporting them natively here is
+    a capability addition.
+    """
+
+    model_type: str = "deberta-v2"
+    vocab_size: int = 128100
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-7
+    pad_token_id: int = 0
+
+    # --- deberta-v2 specific ---
+    relative_attention: bool = True
+    position_buckets: int = 256
+    max_relative_positions: int = -1
+    pos_att_type: tuple[str, ...] = ("p2c", "c2p")
+    share_att_key: bool = True
+    norm_rel_ebd: str = "layer_norm"
+    position_biased_input: bool = False
+    conv_kernel_size: int = 0
+    conv_act: str = "tanh"
+
+    # --- llama/qwen2 specific ---
+    num_key_value_heads: int = 0  # 0 => = num_attention_heads
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    attention_bias: bool = False  # qwen2 uses bias on qkv
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class GLiClassConfig:
+    """GLiClass model-bundle config.
+
+    Field names follow the HF ``gliclass`` package config so that converted
+    checkpoints round-trip; the exported subset mirrors what the reference ONNX
+    exporter records (reference ONNX_CONVERTING/convert_to_onnx.py:19-28:
+    original_model_name, architecture_type, prompt_first, original_logits).
+    """
+
+    original_model_name: str = "unknown"
+    architecture_type: str = "uni-encoder"
+    prompt_first: bool = True
+    # Head hyperparameters (from the HF gliclass package config).
+    hidden_size: int = 768  # projector width; equals backbone hidden size
+    projector_hidden_act: str = "gelu"
+    pooling_strategy: str = "first"  # first | mean | max | sum
+    scorer_type: str = "simple"  # simple | mlp | weighted-dot
+    normalize_features: bool = False
+    extract_text_features: bool = False
+    squeeze_layers: bool = False
+    class_token_index: int = -1  # token id of <<LABEL>> (set by converter)
+    text_token_index: int = -1  # token id of <<SEP>>  (set by converter)
+    max_num_classes: int = 25
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "GLiClassConfig":
+        d = dict(d)
+        bb = d.pop("backbone", {})
+        if isinstance(bb, dict):
+            bb = dict(bb)
+            if "pos_att_type" in bb and isinstance(bb["pos_att_type"], list):
+                bb["pos_att_type"] = tuple(bb["pos_att_type"])
+            known = {f.name for f in dataclasses.fields(BackboneConfig)}
+            bb = BackboneConfig(**{k: v for k, v in bb.items() if k in known})
+        known = {f.name for f in dataclasses.fields(GLiClassConfig)}
+        d = {k: v for k, v in d.items() if k in known}
+        return GLiClassConfig(backbone=bb, **d)
+
+    @staticmethod
+    def from_json(s: str) -> "GLiClassConfig":
+        return GLiClassConfig.from_dict(json.loads(s))
+
+
+# Ready-made backbone configs for the published GLiClass family
+# (hyperparameters of the public backbones; used by tests and the converter).
+def deberta_v3_config(size: str) -> BackboneConfig:
+    sizes = {
+        # microsoft/deberta-v3-{small,base,large} geometry
+        "small": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072),
+        "base": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072),
+        "large": dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16, intermediate_size=4096),
+    }
+    return BackboneConfig(model_type="deberta-v2", **sizes[size])

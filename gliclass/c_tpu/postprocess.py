@@ -1,0 +1,138 @@
+"""Decision head: per-label probabilities -> classification decisions + report.
+
+Replaces reference src/postprocessor.c. Semantics preserved exactly:
+  * probabilities are ``sigmoid(logit)`` for BOTH modes — single-label uses
+    sigmoid + argmax, NOT softmax (reference src/postprocessor.c:121-127)
+  * multi-label: a label is emitted iff ``prob > threshold`` (strict inequality,
+    reference src/postprocessor.c:95)
+  * single-label: strict-``>`` scan from index 0, so the FIRST maximum wins ties
+    (reference src/postprocessor.c:122-127); threshold is ignored in this mode
+  * an output column with no corresponding label yields the literal label string
+    ``"[Unknown]"`` (reference src/postprocessor.c:107-111,141-144)
+
+Divergences (documented): results are returned as structured objects (the
+reference's only output is stdout, reference src/postprocessor.c:90-144); the
+text index in the report is job-global, whereas the reference restarts numbering
+per batch (an artifact of its batch-sliced printf loop,
+reference src/parallel_processor.c:75-83).
+
+The sigmoid itself runs in-graph on device (jax.nn.sigmoid in the jitted model
+step); this module consumes probabilities on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+UNKNOWN_LABEL = "[Unknown]"
+
+MULTI_LABEL = "multi-label"
+SINGLE_LABEL = "single-label"
+
+
+@dataclass(frozen=True)
+class LabelScore:
+    label: str
+    score: float
+    index: int
+
+
+@dataclass(frozen=True)
+class TextResult:
+    text_index: int
+    text: str
+    decisions: tuple[LabelScore, ...]
+
+    def to_dict(self) -> dict:
+        return {
+            "text_index": self.text_index,
+            "text": self.text,
+            "decisions": [
+                {"label": d.label, "score": d.score, "index": d.index}
+                for d in self.decisions
+            ],
+        }
+
+
+def decide_row(
+    probs: np.ndarray,
+    labels: Sequence[str],
+    classification_type: str,
+    threshold: float,
+    num_valid: int | None = None,
+) -> tuple[LabelScore, ...]:
+    """Decisions for one text.
+
+    ``probs`` may be wider than ``labels`` (the reference handles this with the
+    ``[Unknown]`` fallback; here it also arises from label-count bucketing).
+    ``num_valid`` limits scoring to the first N columns — padded label slots
+    beyond it are never considered (they do not exist in the reference, whose
+    output width always equals the real label count).
+    """
+    probs = np.asarray(probs, dtype=np.float32)
+    n = probs.shape[0] if num_valid is None else min(num_valid, probs.shape[0])
+    if classification_type == MULTI_LABEL:
+        out = []
+        for j in range(n):
+            p = float(probs[j])
+            if p > threshold:  # strict > (reference src/postprocessor.c:95)
+                label = labels[j] if j < len(labels) else UNKNOWN_LABEL
+                out.append(LabelScore(label, p, j))
+        return tuple(out)
+    elif classification_type == SINGLE_LABEL:
+        # Strict > scan starting from max_prob=0.0 / max_idx=-1
+        # (reference src/postprocessor.c:118-127).
+        max_prob, max_idx = 0.0, -1
+        for j in range(n):
+            p = float(probs[j])
+            if p > max_prob:
+                max_prob, max_idx = p, j
+        label = (
+            labels[max_idx] if 0 <= max_idx < len(labels) else UNKNOWN_LABEL
+        )
+        return (LabelScore(label, max_prob, max_idx),)
+    else:
+        raise ValueError(
+            f"This type of classification is not supported: {classification_type!r}"
+        )
+
+
+def decide_batch(
+    probs: np.ndarray,
+    texts: Sequence[str],
+    labels: Sequence[Sequence[str]],
+    same_labels: bool,
+    classification_type: str,
+    threshold: float,
+    num_valid: Sequence[int] | None = None,
+    text_offset: int = 0,
+) -> list[TextResult]:
+    """Decisions for a [B, C] probability matrix.
+
+    Label lookup mirrors the reference: ``labels[0]`` when ``same_labels`` else
+    ``labels[i]`` (reference src/postprocessor.c:96-105,130-139).
+    """
+    results = []
+    for i, text in enumerate(texts):
+        ls = labels[0] if same_labels else labels[i]
+        nv = None if num_valid is None else int(num_valid[i])
+        decisions = decide_row(probs[i], ls, classification_type, threshold, nv)
+        results.append(TextResult(text_offset + i, text, decisions))
+    return results
+
+
+def format_report(results: Sequence[TextResult]) -> str:
+    """Human-readable report, line format identical to the reference printf
+    (reference src/postprocessor.c:90,108-110,118,142-144)."""
+    lines = []
+    for r in results:
+        lines.append(f"Text_{r.text_index}: {r.text}:")
+        for d in r.decisions:
+            lines.append(
+                f"  Text_{r.text_index} Label: {d.label}, Score: {d.score:.6f}"
+            )
+        lines.append("")
+    return "\n".join(lines) + "\n" if lines else ""

@@ -1,0 +1,143 @@
+"""Tokenization of packed prompts into fixed-shape device-ready batches.
+
+Replaces reference src/tokenizer.c (C shim over the Rust ``tokenizers`` crate via
+tokenizers-cpp) with the HF ``tokenizers`` Python binding — the same Rust core;
+the C++ shim existed only because the reference host was C.
+
+Contract parity (reference src/tokenizer.c:19-91):
+  * batch encode with ``add_special_tokens=True`` (reference src/tokenizer.c:32-33)
+  * truncate each sequence at ``max_length`` (reference src/tokenizer.c:44-49)
+  * attention_mask 1 for real tokens, 0 for padding (reference src/tokenizer.c:75-82)
+  * ``token_type_ids`` is NOT produced: the reference computes it but never feeds
+    it to the model (reference src/tokenizer.c:66,76 vs src/model.c:168) — dropped.
+
+Deliberate divergence (documented per SURVEY §7 step 2): the reference pads to the
+longest post-truncation sequence in the batch (reference src/tokenizer.c:50-54),
+which is a dynamic shape per batch — under XLA that is a recompile per distinct
+length. We pad to a fixed bucket from ``RuntimeConfig.seq_buckets`` instead.
+Padded positions are fully masked so logits are unchanged.
+
+Pad token id: the reference hardcodes 0 (reference src/tokenizer.c:79); we read it
+from the tokenizer when available and fall back to 0.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+from .prompting import LABEL_TAG, SEP_TAG
+
+
+@dataclass(frozen=True)
+class TokenizedBatch:
+    """Fixed-shape batch ready for device transfer."""
+
+    input_ids: np.ndarray  # int32 [B, L]
+    attention_mask: np.ndarray  # int32 [B, L]
+    lengths: np.ndarray  # int32 [B] true (post-truncation) lengths
+
+    @property
+    def batch_size(self) -> int:
+        return self.input_ids.shape[0]
+
+    @property
+    def seq_length(self) -> int:
+        return self.input_ids.shape[1]
+
+
+class PromptTokenizer:
+    """Wrapper over a HF ``tokenizers.Tokenizer`` (tokenizer.json)."""
+
+    def __init__(self, tokenizer, pad_token_id: int | None = None):
+        self._tok = tokenizer
+        if pad_token_id is None:
+            pad = getattr(tokenizer, "padding", None)
+            pad_token_id = pad["pad_id"] if pad else 0
+        self.pad_token_id = int(pad_token_id)
+        # Special-token ids used by the GLiClass head to locate label slots.
+        self.label_token_id = tokenizer.token_to_id(LABEL_TAG)
+        self.sep_token_id = tokenizer.token_to_id(SEP_TAG)
+
+    @classmethod
+    def from_file(cls, path: str, pad_token_id: int | None = None) -> "PromptTokenizer":
+        from tokenizers import Tokenizer
+
+        return cls(Tokenizer.from_file(path), pad_token_id=pad_token_id)
+
+    def encode_batch(
+        self,
+        prompts: Sequence[str],
+        max_length: int,
+        pad_to: int | None = None,
+    ) -> TokenizedBatch:
+        """Encode, truncate at ``max_length``, pad to ``pad_to`` (or batch max).
+
+        ``pad_to=None`` reproduces the reference's pad-to-batch-max behaviour
+        (reference src/tokenizer.c:44-54) for parity tests; production passes a
+        bucket size for shape stability.
+        """
+        encs = self._tok.encode_batch(list(prompts), add_special_tokens=True)
+        lengths = np.array(
+            [min(len(e.ids), max_length) for e in encs], dtype=np.int32
+        )
+        target = int(pad_to) if pad_to is not None else int(lengths.max(initial=1))
+        if lengths.max(initial=0) > target:
+            raise ValueError(
+                f"pad_to={target} is smaller than longest truncated sequence "
+                f"({int(lengths.max())}); pick a larger bucket"
+            )
+        n = len(encs)
+        input_ids = np.full((n, target), self.pad_token_id, dtype=np.int32)
+        attention_mask = np.zeros((n, target), dtype=np.int32)
+        for i, e in enumerate(encs):
+            L = lengths[i]
+            input_ids[i, :L] = e.ids[:L]
+            attention_mask[i, :L] = 1
+        return TokenizedBatch(input_ids, attention_mask, lengths)
+
+    def encode_batch_parallel(
+        self,
+        prompts: Sequence[str],
+        max_length: int,
+        pad_to: int | None = None,
+        chunk_size: int = 512,
+        workers: int | None = None,
+    ) -> TokenizedBatch:
+        """Chunked parallel encode for large jobs (replaces the OpenMP fan-out of
+        reference src/parallel_processor.c:25-50 on the host side).
+
+        The Rust tokenizer core releases the GIL, so a thread pool gives real
+        host parallelism without pickling overhead.
+        """
+        if len(prompts) <= chunk_size:
+            return self.encode_batch(prompts, max_length, pad_to)
+        workers = workers or min(8, os.cpu_count() or 1)
+        chunks = [prompts[i : i + chunk_size] for i in range(0, len(prompts), chunk_size)]
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            parts = list(
+                ex.map(lambda c: self.encode_batch(c, max_length, pad_to), chunks)
+            )
+        if pad_to is None:
+            target = max(p.seq_length for p in parts)
+            parts = [_repad(p, target, self.pad_token_id) for p in parts]
+        return TokenizedBatch(
+            np.concatenate([p.input_ids for p in parts]),
+            np.concatenate([p.attention_mask for p in parts]),
+            np.concatenate([p.lengths for p in parts]),
+        )
+
+
+def _repad(batch: TokenizedBatch, target: int, pad_id: int) -> TokenizedBatch:
+    if batch.seq_length == target:
+        return batch
+    n, L = batch.input_ids.shape
+    ids = np.full((n, target), pad_id, dtype=np.int32)
+    mask = np.zeros((n, target), dtype=np.int32)
+    ids[:, :L] = batch.input_ids
+    mask[:, :L] = batch.attention_mask
+    return TokenizedBatch(ids, mask, batch.lengths)

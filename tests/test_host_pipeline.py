@@ -1,0 +1,219 @@
+"""Unit tests for the host-side pipeline stages: ingest, prompt packing,
+tokenization, decisions. These lock in reference-parity semantics
+(SURVEY §4: "pytest units per stage")."""
+
+import json
+
+import numpy as np
+import pytest
+
+from gliclass.c_tpu import prompting
+from gliclass.c_tpu.data import (
+    ClassificationJob,
+    JobParseError,
+    load_job,
+    parse_job,
+    string_to_bool,
+)
+from gliclass.c_tpu.postprocess import (
+    UNKNOWN_LABEL,
+    decide_batch,
+    decide_row,
+    format_report,
+)
+from gliclass.c_tpu.tokenization import PromptTokenizer
+
+README_JOB = {
+    "texts": [
+        "ONNX is an open-source format designed to enable the interoperability of AI models.",
+        "Why are you running?",
+        "Support Ukraine",
+    ],
+    "labels": [["format", "model", "tool", "necessity"]],
+    "same_labels": True,
+    "classification_type": "multi-label",
+}
+
+
+class TestIngest:
+    def test_shared_labels(self):
+        job = parse_job(README_JOB)
+        assert job.num_texts == 3
+        assert job.same_labels
+        assert job.labels_for(2) == ("format", "model", "tool", "necessity")
+
+    def test_per_text_labels(self):
+        job = parse_job(
+            {
+                "texts": ["a", "b"],
+                "labels": [["x", "y"], ["z"]],
+                "same_labels": False,
+                "classification_type": "single-label",
+            }
+        )
+        assert job.labels_for(0) == ("x", "y")
+        assert job.labels_for(1) == ("z",)
+
+    def test_per_text_count_mismatch(self):
+        # reference src/read_data.c:106-143 checks labels count vs texts count
+        with pytest.raises(JobParseError):
+            parse_job(
+                {
+                    "texts": ["a", "b", "c"],
+                    "labels": [["x"], ["y"]],
+                    "same_labels": False,
+                    "classification_type": "multi-label",
+                }
+            )
+
+    def test_bad_classification_type(self):
+        bad = dict(README_JOB, classification_type="zero-shot")
+        with pytest.raises(JobParseError):
+            parse_job(bad)
+
+    def test_load_job_file(self, tmp_path):
+        p = tmp_path / "job.json"
+        p.write_text(json.dumps(README_JOB))
+        job = load_job(str(p))
+        assert isinstance(job, ClassificationJob)
+        assert job.classification_type == "multi-label"
+
+    def test_string_to_bool(self):
+        # reference src/read_data.c:160-169
+        assert string_to_bool("true") and string_to_bool("1")
+        assert not string_to_bool("false") and not string_to_bool("0")
+        with pytest.raises(ValueError):
+            string_to_bool("yes")
+
+
+class TestPromptPacking:
+    def test_prompt_first(self):
+        # reference src/preprocessor.c:84-95
+        s = prompting.pack_prompt("Hello World", ["Cat", "DOG"], prompt_first=True)
+        assert s == "<<LABEL>>cat<<LABEL>>dog<<SEP>>Hello World"
+
+    def test_prompt_last(self):
+        # reference src/preprocessor.c:96-108
+        s = prompting.pack_prompt("Hello", ["A"], prompt_first=False)
+        assert s == "Hello<<LABEL>>a<<SEP>>"
+
+    def test_ascii_only_lowercasing(self):
+        # C tolower touches only ASCII; É must NOT become é
+        # (reference src/preprocessor.c:88-93 uses byte-wise tolower)
+        s = prompting.pack_prompt("t", ["Élan VITAL"], prompt_first=True)
+        assert s == "<<LABEL>>Élan vital<<SEP>>t"
+
+    def test_batch_shared_vs_per_text(self):
+        # labels[0] when same_labels else labels[i] (reference src/preprocessor.c:33-38)
+        shared = prompting.pack_prompts(["t1", "t2"], [["L"]], True, True)
+        assert shared == ["<<LABEL>>l<<SEP>>t1", "<<LABEL>>l<<SEP>>t2"]
+        per = prompting.pack_prompts(["t1", "t2"], [["A"], ["B"]], False, True)
+        assert per == ["<<LABEL>>a<<SEP>>t1", "<<LABEL>>b<<SEP>>t2"]
+
+    def test_empty_labels(self):
+        assert prompting.pack_prompt("x", [], True) == "<<SEP>>x"
+
+
+class TestTokenization:
+    def test_special_tokens_resolve(self, tiny_tokenizer_file):
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        assert tok.label_token_id is not None
+        assert tok.sep_token_id is not None
+        assert tok.label_token_id != tok.sep_token_id
+
+    def test_label_tokens_are_atomic(self, tiny_tokenizer_file):
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        prompt = prompting.pack_prompt("the dog", ["cat", "dog"], True)
+        batch = tok.encode_batch([prompt], max_length=64)
+        ids = batch.input_ids[0][batch.attention_mask[0] == 1]
+        assert int(np.sum(ids == tok.label_token_id)) == 2
+        assert int(np.sum(ids == tok.sep_token_id)) == 1
+
+    def test_pad_to_batch_max_reference_mode(self, tiny_tokenizer_file):
+        # pad_to=None reproduces reference pad-to-batch-max (src/tokenizer.c:44-54)
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        batch = tok.encode_batch(["the dog", "the quick brown fox jumps"], max_length=64)
+        assert batch.seq_length == int(batch.lengths.max())
+        # shorter row is padded with mask 0
+        assert batch.attention_mask[0, -1] == 0
+
+    def test_truncation(self, tiny_tokenizer_file):
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        long_text = "the quick brown fox " * 50
+        batch = tok.encode_batch([long_text], max_length=16)
+        assert batch.seq_length == 16
+        assert batch.lengths[0] == 16
+        assert batch.attention_mask[0].sum() == 16
+
+    def test_bucket_padding(self, tiny_tokenizer_file):
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        batch = tok.encode_batch(["the dog"], max_length=64, pad_to=32)
+        assert batch.seq_length == 32
+        np.testing.assert_array_equal(
+            batch.input_ids[0][batch.lengths[0]:],
+            np.full(32 - batch.lengths[0], tok.pad_token_id),
+        )
+
+    def test_bucket_too_small_raises(self, tiny_tokenizer_file):
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        with pytest.raises(ValueError):
+            tok.encode_batch(["the quick brown fox jumps over the lazy dog"], max_length=64, pad_to=2)
+
+    def test_parallel_matches_serial(self, tiny_tokenizer_file):
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        prompts = [f"the quick brown fox {i}" for i in range(40)]
+        a = tok.encode_batch(prompts, max_length=32, pad_to=32)
+        b = tok.encode_batch_parallel(prompts, max_length=32, pad_to=32, chunk_size=7)
+        np.testing.assert_array_equal(a.input_ids, b.input_ids)
+        np.testing.assert_array_equal(a.attention_mask, b.attention_mask)
+
+
+class TestDecisions:
+    def test_multi_label_strict_threshold(self):
+        # prob > threshold strictly (reference src/postprocessor.c:95)
+        logits = np.array([0.0, 5.0, -5.0])  # sigmoid: .5, .993, .0067
+        probs = 1 / (1 + np.exp(-logits))
+        out = decide_row(probs, ["a", "b", "c"], "multi-label", threshold=0.5)
+        assert [d.label for d in out] == ["b"]
+        assert out[0].index == 1
+
+    def test_single_label_first_max_wins(self):
+        # strict > scan -> first maximum wins ties (reference src/postprocessor.c:122-127)
+        probs = np.array([0.9, 0.9, 0.1], dtype=np.float32)
+        out = decide_row(probs, ["a", "b", "c"], "single-label", threshold=0.5)
+        assert len(out) == 1 and out[0].label == "a" and out[0].index == 0
+
+    def test_single_label_ignores_threshold(self):
+        probs = np.array([0.1, 0.2], dtype=np.float32)
+        out = decide_row(probs, ["a", "b"], "single-label", threshold=0.99)
+        assert out[0].label == "b"
+
+    def test_unknown_fallback(self):
+        # column beyond label list -> "[Unknown]" (reference src/postprocessor.c:107-111)
+        probs = np.array([0.1, 0.9], dtype=np.float32)
+        out = decide_row(probs, ["only"], "multi-label", threshold=0.5)
+        assert out[0].label == UNKNOWN_LABEL and out[0].index == 1
+
+    def test_num_valid_masks_padded_slots(self):
+        probs = np.array([0.6, 0.99], dtype=np.float32)
+        out = decide_row(probs, ["a"], "multi-label", threshold=0.5, num_valid=1)
+        assert [d.label for d in out] == ["a"]
+
+    def test_unsupported_type(self):
+        with pytest.raises(ValueError):
+            decide_row(np.array([0.5]), ["a"], "ranked", 0.5)
+
+    def test_batch_shared_label_lookup(self):
+        probs = np.array([[0.9, 0.1], [0.1, 0.9]], dtype=np.float32)
+        res = decide_batch(
+            probs, ["t0", "t1"], [["x", "y"]], True, "single-label", 0.5
+        )
+        assert res[0].decisions[0].label == "x"
+        assert res[1].decisions[0].label == "y"
+
+    def test_report_format(self):
+        probs = np.array([[0.9]], dtype=np.float32)
+        res = decide_batch(probs, ["hello"], [["x"]], True, "multi-label", 0.5)
+        rep = format_report(res)
+        # line format matches reference printf (src/postprocessor.c:90,108-110)
+        assert rep == "Text_0: hello:\n  Text_0 Label: x, Score: 0.900000\n\n"

@@ -1,0 +1,112 @@
+"""HF (PyTorch) backbone state_dict -> native JAX param trees.
+
+This is part of the offline model-production toolchain (replaces the role of
+reference ONNX_CONVERTING/convert_to_onnx.py: turning an HF checkpoint into the
+artifact the engine executes). torch is only imported here — never on the
+serving hot path.
+
+Naming convention: torch Linear stores weight [out, in]; our dense params store
+"w" as [in, out], so every kernel is transposed once at conversion time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from ..config import BackboneConfig
+
+Params = dict[str, Any]
+
+
+def _t(sd: Mapping[str, Any], name: str) -> np.ndarray:
+    t = sd[name]
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _dense(sd, prefix: str, bias: bool = True) -> Params:
+    p: Params = {"w": _t(sd, f"{prefix}.weight").T.copy()}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = _t(sd, f"{prefix}.bias")
+    return p
+
+
+def _ln(sd, prefix: str) -> Params:
+    return {"scale": _t(sd, f"{prefix}.weight"), "bias": _t(sd, f"{prefix}.bias")}
+
+
+def _stack(layers: list[Params]) -> Params:
+    """Stack per-layer trees along a new leading axis (for lax.scan)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+
+def convert_deberta_state_dict(sd: Mapping[str, Any], cfg: BackboneConfig) -> Params:
+    """transformers.DebertaV2Model state_dict -> deberta.py param tree."""
+    params: Params = {
+        "embeddings": {
+            "word": _t(sd, "embeddings.word_embeddings.weight"),
+            "ln": _ln(sd, "embeddings.LayerNorm"),
+        }
+    }
+    if "embeddings.position_embeddings.weight" in sd:
+        params["embeddings"]["pos"] = _t(sd, "embeddings.position_embeddings.weight")
+    if "embeddings.embed_proj.weight" in sd:
+        params["embeddings"]["proj"] = _dense(sd, "embeddings.embed_proj", bias=False)
+
+    if cfg.relative_attention:
+        params["rel_embeddings"] = _t(sd, "encoder.rel_embeddings.weight")
+        if cfg.norm_rel_ebd == "layer_norm":
+            params["rel_ln"] = _ln(sd, "encoder.LayerNorm")
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"encoder.layer.{i}"
+        layer = {
+            "attn": {
+                "q": _dense(sd, f"{pre}.attention.self.query_proj"),
+                "k": _dense(sd, f"{pre}.attention.self.key_proj"),
+                "v": _dense(sd, f"{pre}.attention.self.value_proj"),
+                "o": _dense(sd, f"{pre}.attention.output.dense"),
+                "ln": _ln(sd, f"{pre}.attention.output.LayerNorm"),
+            },
+            "ffn": {
+                "up": _dense(sd, f"{pre}.intermediate.dense"),
+                "down": _dense(sd, f"{pre}.output.dense"),
+                "ln": _ln(sd, f"{pre}.output.LayerNorm"),
+            },
+        }
+        if not cfg.share_att_key:
+            if f"{pre}.attention.self.pos_key_proj.weight" in sd:
+                layer["attn"]["pos_k"] = _dense(sd, f"{pre}.attention.self.pos_key_proj")
+            if f"{pre}.attention.self.pos_query_proj.weight" in sd:
+                layer["attn"]["pos_q"] = _dense(sd, f"{pre}.attention.self.pos_query_proj")
+        layers.append(layer)
+    params["layers"] = _stack(layers)
+    return params
+
+
+def backbone_config_from_hf(hf_cfg) -> BackboneConfig:
+    """transformers DebertaV2Config -> BackboneConfig."""
+    return BackboneConfig(
+        model_type="deberta-v2",
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        num_attention_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        hidden_act=hf_cfg.hidden_act,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        layer_norm_eps=hf_cfg.layer_norm_eps,
+        pad_token_id=getattr(hf_cfg, "pad_token_id", 0) or 0,
+        relative_attention=getattr(hf_cfg, "relative_attention", False),
+        position_buckets=getattr(hf_cfg, "position_buckets", -1),
+        max_relative_positions=getattr(hf_cfg, "max_relative_positions", -1),
+        pos_att_type=tuple(getattr(hf_cfg, "pos_att_type", None) or ()),
+        share_att_key=getattr(hf_cfg, "share_att_key", False),
+        norm_rel_ebd=getattr(hf_cfg, "norm_rel_ebd", "none"),
+        position_biased_input=getattr(hf_cfg, "position_biased_input", True),
+        conv_kernel_size=getattr(hf_cfg, "conv_kernel_size", 0) or 0,
+    )

@@ -1,0 +1,118 @@
+"""Checkpoint converter: (HF gliclass checkpoint | torch reference model) ->
+native TPU weight bundle.
+
+The analog of reference ONNX_CONVERTING/convert_to_onnx.py end-to-end: load the
+torch model, emit the engine artifact (here: param tree + config + tokenizer +
+golden logits + optional INT8 weights) instead of an ONNX graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+
+from ..config import GLiClassConfig
+from ..ops.quant import quantize_tree
+from .bundle import save_bundle
+from .hf_backbones import convert_deberta_state_dict
+from .torch_ref import golden_logits
+
+Params = dict[str, Any]
+
+# The reference exporter's canonical QA sample
+# (reference ONNX_CONVERTING/convert_to_onnx.py:57-58, test_onnx.py:64-65).
+CANONICAL_TEXT = (
+    "ONNX is an open-source format designed to enable the interoperability "
+    "of AI models across various frameworks and tools."
+)
+CANONICAL_LABELS = ["format", "model", "tool", "cat"]
+
+
+def _t(sd: Mapping, name: str) -> np.ndarray:
+    t = sd[name]
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _dense(sd, prefix: str) -> Params:
+    p: Params = {"w": _t(sd, f"{prefix}.weight").T.copy()}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _t(sd, f"{prefix}.bias")
+    return p
+
+
+def convert_head_state_dict(sd: Mapping, cfg: GLiClassConfig) -> Params:
+    """gliclass-package head weights (text_projector/classes_projector/scorer)
+    -> heads.py param tree."""
+    head: Params = {}
+    for proj in ("text_projector", "classes_projector"):
+        head[proj] = {
+            "linear_1": _dense(sd, f"{proj}.linear_1"),
+            "linear_2": _dense(sd, f"{proj}.linear_2"),
+        }
+    if cfg.scorer_type == "mlp":
+        head["scorer"] = {
+            "mlp_1": _dense(sd, "scorer.mlp_1"),
+            "mlp_2": _dense(sd, "scorer.mlp_2"),
+        }
+    return head
+
+
+def convert_gliclass_state_dict(sd: Mapping, cfg: GLiClassConfig) -> Params:
+    """Full GLiClassUniEncoder state_dict -> {"backbone": ..., "head": ...}.
+
+    Backbone keys are expected under the ``encoder_model.`` prefix (the
+    gliclass-package attribute name).
+    """
+    bb_sd = {
+        k[len("encoder_model.") :]: v
+        for k, v in sd.items()
+        if k.startswith("encoder_model.")
+    }
+    bb = cfg.backbone
+    if bb.model_type == "deberta-v2":
+        backbone = convert_deberta_state_dict(bb_sd, bb)
+    elif bb.model_type in ("llama", "qwen2"):
+        from .hf_backbones import convert_llama_state_dict
+
+        backbone = convert_llama_state_dict(bb_sd, bb)
+    else:
+        raise ValueError(f"unsupported backbone: {bb.model_type!r}")
+    return {"backbone": backbone, "head": convert_head_state_dict(sd, cfg)}
+
+
+def export_bundle(
+    torch_model,
+    cfg: GLiClassConfig,
+    tokenizer,
+    out_path: str,
+    quantize: bool = False,
+    golden_samples: Sequence[tuple[Sequence[str], Sequence[Sequence[str]], bool]]
+    | None = None,
+) -> Params:
+    """torch GLiClass model -> saved bundle (+ optional INT8 weights).
+
+    golden_samples: list of (texts, labels, same_labels); defaults to the
+    reference's canonical sample in both prompt orders.
+    """
+    from ..tokenization import PromptTokenizer
+
+    params = convert_gliclass_state_dict(torch_model.state_dict(), cfg)
+
+    ptok = tokenizer if isinstance(tokenizer, PromptTokenizer) else PromptTokenizer(tokenizer)
+    if golden_samples is None:
+        golden_samples = [([CANONICAL_TEXT], [CANONICAL_LABELS], True)]
+    goldens = [
+        golden_logits(
+            torch_model, ptok, cfg, texts, labels, same, cfg.prompt_first
+        )
+        for texts, labels, same in golden_samples
+    ]
+
+    int8_params = quantize_tree(params) if quantize else None
+    tok_json = ptok._tok.to_str()
+    save_bundle(
+        out_path, cfg, params,
+        tokenizer_json=tok_json, goldens=goldens, int8_params=int8_params,
+    )
+    return params

@@ -88,6 +88,57 @@ def convert_deberta_state_dict(sd: Mapping[str, Any], cfg: BackboneConfig) -> Pa
     return params
 
 
+def convert_llama_state_dict(sd: Mapping[str, Any], cfg: BackboneConfig) -> Params:
+    """transformers LlamaModel / Qwen2Model state_dict -> llama.py param tree."""
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"layers.{i}"
+        layers.append(
+            {
+                "attn": {
+                    "q": _dense(sd, f"{pre}.self_attn.q_proj"),
+                    "k": _dense(sd, f"{pre}.self_attn.k_proj"),
+                    "v": _dense(sd, f"{pre}.self_attn.v_proj"),
+                    "o": _dense(sd, f"{pre}.self_attn.o_proj"),
+                },
+                "attn_norm": {"scale": _t(sd, f"{pre}.input_layernorm.weight")},
+                "mlp": {
+                    "gate": _dense(sd, f"{pre}.mlp.gate_proj"),
+                    "up": _dense(sd, f"{pre}.mlp.up_proj"),
+                    "down": _dense(sd, f"{pre}.mlp.down_proj"),
+                },
+                "mlp_norm": {
+                    "scale": _t(sd, f"{pre}.post_attention_layernorm.weight")
+                },
+            }
+        )
+    return {
+        "embeddings": {"word": _t(sd, "embed_tokens.weight")},
+        "layers": _stack(layers),
+        "final_norm": {"scale": _t(sd, "norm.weight")},
+    }
+
+
+def llama_config_from_hf(hf_cfg, model_type: str) -> BackboneConfig:
+    """transformers LlamaConfig / Qwen2Config -> BackboneConfig."""
+    return BackboneConfig(
+        model_type=model_type,
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        num_attention_heads=hf_cfg.num_attention_heads,
+        num_key_value_heads=getattr(hf_cfg, "num_key_value_heads", 0)
+        or hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+        rms_norm_eps=getattr(hf_cfg, "rms_norm_eps", 1e-6),
+        attention_bias=bool(getattr(hf_cfg, "attention_bias", False))
+        or model_type == "qwen2",
+        pad_token_id=getattr(hf_cfg, "pad_token_id", 0) or 0,
+    )
+
+
 def backbone_config_from_hf(hf_cfg) -> BackboneConfig:
     """transformers DebertaV2Config -> BackboneConfig."""
     return BackboneConfig(

@@ -1,0 +1,177 @@
+"""GLiClass scoring head: label-slot extraction, pooling, projectors, scorers.
+
+The reference never sees this architecture explicitly — it executes inside the
+exported ONNX graph (reference src/model.c:173-182 runs the whole graph; SURVEY
+§7 "hard parts" #1). The structure here is reconstructed from the HF
+``gliclass`` package (GLiClassUniEncoder + FeaturesProjector + scorers), which
+is the upstream source of every exported checkpoint
+(reference ONNX_CONVERTING/convert_to_onnx.py:48-62 drives that package). Param
+naming mirrors the package (text_projector/classes_projector/linear_1/linear_2)
+so real checkpoints map 1:1 at conversion time.
+
+TPU-first notes:
+  * label-slot extraction is a cumsum + one-hot einsum (an S x L matmul on the
+    MXU), not a dynamic gather — static shapes, bucketed max label count.
+  * padded label slots yield large-negative logits (sigmoid -> 0), so bucketing
+    never changes decisions.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GLiClassConfig
+from ..ops.layers import activation, linear
+
+Params = dict[str, Any]
+
+NEG_LOGIT = -1e4  # logit for padded label slots: sigmoid(-1e4) == 0.0 in fp32
+
+
+def extract_label_embeddings(
+    hidden: jax.Array,
+    input_ids: jax.Array,
+    class_token_id: int,
+    max_labels: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather hidden states at ``<<LABEL>>`` token positions into label slots.
+
+    hidden [B,S,H], input_ids [B,S] -> (label_emb [B,L,H], label_mask [B,L])
+    where L = max_labels. The k-th <<LABEL>> occurrence in a sequence fills slot
+    k. Implemented as a one-hot matmul so it lowers to an MXU contraction.
+    """
+    is_label = input_ids == class_token_id  # [B,S]
+    ordinal = jnp.cumsum(is_label.astype(jnp.int32), axis=-1) - 1  # [B,S]
+    slots = jnp.arange(max_labels, dtype=jnp.int32)
+    onehot = (ordinal[..., None] == slots) & is_label[..., None]  # [B,S,L]
+    sel = onehot.astype(hidden.dtype)
+    label_emb = jnp.einsum(
+        "bsl,bsh->blh", sel, hidden, preferred_element_type=jnp.float32
+    ).astype(hidden.dtype)
+    counts = jnp.sum(is_label, axis=-1)  # [B]
+    label_mask = slots[None, :] < counts[:, None]
+    return label_emb, label_mask
+
+
+def pool_text(
+    hidden: jax.Array, attention_mask: jax.Array, strategy: str
+) -> jax.Array:
+    """Sequence -> single text representation [B,H].
+
+    Strategies mirror the gliclass package poolers: 'first' (CLS token — used by
+    the published v1.0 checkpoints), masked 'mean' / 'max' / 'sum'.
+    """
+    if strategy == "first":
+        return hidden[:, 0]
+    m = attention_mask[..., None].astype(hidden.dtype)
+    if strategy == "mean":
+        return jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    if strategy == "sum":
+        return jnp.sum(hidden * m, axis=1)
+    if strategy == "max":
+        neg = jnp.finfo(hidden.dtype).min
+        return jnp.max(jnp.where(m > 0, hidden, neg), axis=1)
+    raise ValueError(f"unsupported pooling_strategy: {strategy!r}")
+
+
+def features_projector(p: Params, x: jax.Array, act_name: str, compute_dtype) -> jax.Array:
+    """FeaturesProjector: Linear(H -> 4H) -> act -> Linear(4H -> H)."""
+    h = linear(p["linear_1"], x, compute_dtype)
+    h = activation(act_name)(h)
+    return linear(p["linear_2"], h, compute_dtype)
+
+
+def score_simple(text_rep: jax.Array, label_rep: jax.Array) -> jax.Array:
+    """ScorerDot: logits[b,l] = <text_rep[b], label_rep[b,l]>."""
+    return jnp.einsum(
+        "bh,blh->bl", text_rep, label_rep, preferred_element_type=jnp.float32
+    )
+
+
+def score_mlp(p: Params, text_rep: jax.Array, label_rep: jax.Array,
+              compute_dtype) -> jax.Array:
+    """MLP scorer over [label; text; label*text] features -> scalar per label."""
+    B, L, H = label_rep.shape
+    t = jnp.broadcast_to(text_rep[:, None, :], (B, L, H))
+    feats = jnp.concatenate([label_rep, t, label_rep * t], axis=-1)
+    h = linear(p["mlp_1"], feats, compute_dtype)
+    h = jax.nn.relu(h)
+    return linear(p["mlp_2"], h, compute_dtype)[..., 0].astype(jnp.float32)
+
+
+def gliclass_head(
+    params: Params,
+    hidden: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: GLiClassConfig,
+    max_labels: int,
+    compute_dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """hidden [B,S,H] -> (logits f32 [B,max_labels], label_mask [B,max_labels]).
+
+    Padded label slots are filled with NEG_LOGIT so downstream sigmoid gives 0.
+    """
+    label_emb, label_mask = extract_label_embeddings(
+        hidden, input_ids, cfg.class_token_index, max_labels
+    )
+    text_rep = pool_text(hidden, attention_mask, cfg.pooling_strategy)
+
+    text_rep = features_projector(
+        params["text_projector"], text_rep, cfg.projector_hidden_act, compute_dtype
+    )
+    label_emb = features_projector(
+        params["classes_projector"], label_emb, cfg.projector_hidden_act, compute_dtype
+    )
+
+    if cfg.normalize_features:
+        text_rep = text_rep / jnp.maximum(
+            jnp.linalg.norm(text_rep, axis=-1, keepdims=True), 1e-12
+        )
+        label_emb = label_emb / jnp.maximum(
+            jnp.linalg.norm(label_emb, axis=-1, keepdims=True), 1e-12
+        )
+
+    if cfg.scorer_type == "simple":
+        logits = score_simple(text_rep, label_emb)
+    elif cfg.scorer_type == "mlp":
+        logits = score_mlp(params["scorer"], text_rep, label_emb, compute_dtype)
+    else:
+        raise ValueError(f"unsupported scorer_type: {cfg.scorer_type!r}")
+
+    logits = jnp.where(label_mask, logits.astype(jnp.float32), NEG_LOGIT)
+    return logits, label_mask
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+def _dense(key, d_in, d_out, dtype, std=0.02):
+    return {
+        "w": jax.random.normal(key, (d_in, d_out), dtype) * std,
+        "b": jnp.zeros((d_out,), dtype),
+    }
+
+
+def init_head_params(key, cfg: GLiClassConfig, dtype=jnp.float32) -> Params:
+    H = cfg.hidden_size
+    ks = jax.random.split(key, 6)
+    params: Params = {
+        "text_projector": {
+            "linear_1": _dense(ks[0], H, 4 * H, dtype),
+            "linear_2": _dense(ks[1], 4 * H, H, dtype),
+        },
+        "classes_projector": {
+            "linear_1": _dense(ks[2], H, 4 * H, dtype),
+            "linear_2": _dense(ks[3], 4 * H, H, dtype),
+        },
+    }
+    if cfg.scorer_type == "mlp":
+        params["scorer"] = {
+            "mlp_1": _dense(ks[4], 3 * H, H, dtype),
+            "mlp_2": _dense(ks[5], H, 1, dtype),
+        }
+    return params

@@ -1,0 +1,132 @@
+"""InferenceEngine: compiled, sharded, shape-bucketed forward steps.
+
+Replaces the reference's model runtime layer (L2: ORT session + per-batch
+``Run``; reference src/model.c:122-207) with jit-compiled XLA executables over a
+device mesh. Key differences from the reference, by design:
+
+  * one executable per (batch, seq-bucket, label-bucket) shape — compiled once,
+    cached; the reference re-resolves its output name and re-marshals tensors
+    every call (reference src/model.c:159)
+  * batches execute across ALL devices of the mesh (dp x tp); the reference
+    serialized its one GPU behind a mutex (reference main.c:143-146)
+  * sigmoid runs in-graph; the reference computed it per-logit on host
+    (reference src/postprocessor.c:14-16)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GLiClassConfig, RuntimeConfig
+from .models.gliclass import gliclass_probs
+from .parallel.mesh import DATA_AXIS, Mesh, NamedSharding, P, make_mesh
+from .parallel.sharding import shard_params, shard_spec_tree
+from .tokenization import TokenizedBatch
+
+Params = dict[str, Any]
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: GLiClassConfig,
+        params: Params,
+        runtime: RuntimeConfig | None = None,
+        mesh: Mesh | None = None,
+    ):
+        self.cfg = cfg
+        self.runtime = runtime or RuntimeConfig()
+        self.mesh = mesh if mesh is not None else make_mesh(
+            self.runtime.dp_size, self.runtime.tp_size
+        )
+        self.compute_dtype = _DTYPES[self.runtime.compute_dtype]
+        self.params = shard_params(params, self.mesh)
+        self._param_shardings = shard_spec_tree(params, self.mesh)
+        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        self._out_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        self._steps: dict[tuple[int, int], Any] = {}
+
+    # ------------------------------------------------------------------
+    def _get_step(self, seq_len: int, max_labels: int):
+        key = (seq_len, max_labels)
+        step = self._steps.get(key)
+        if step is None:
+            cfg, dtype = self.cfg, self.compute_dtype
+
+            def fwd(params, input_ids, attention_mask):
+                return gliclass_probs(
+                    params, input_ids, attention_mask, cfg, max_labels, dtype
+                )
+
+            step = jax.jit(
+                fwd,
+                in_shardings=(
+                    self._param_shardings,
+                    self._batch_sharding,
+                    self._batch_sharding,
+                ),
+                out_shardings=self._out_sharding,
+            )
+            self._steps[key] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def _pad_batch(self, batch: TokenizedBatch) -> tuple[np.ndarray, np.ndarray, int]:
+        """Pad the batch dim up to a multiple of (dp * batch_size) rows so the
+        data axis divides evenly; padded rows are fully masked."""
+        n = batch.batch_size
+        dp = self.mesh.shape[DATA_AXIS]
+        step = max(dp, 1)
+        target = -(-n // step) * step
+        if target == n:
+            return batch.input_ids, batch.attention_mask, n
+        ids = np.zeros((target, batch.seq_length), dtype=batch.input_ids.dtype)
+        mask = np.zeros((target, batch.seq_length), dtype=batch.attention_mask.dtype)
+        ids[:n] = batch.input_ids
+        # padded rows keep one valid token so softmax rows are not all -inf
+        ids[n:, 0] = self.cfg.backbone.pad_token_id
+        mask[:n] = batch.attention_mask
+        mask[n:, 0] = 1
+        return ids, mask, n
+
+    def run(self, batch: TokenizedBatch, max_labels: int) -> np.ndarray:
+        """Tokenized batch -> per-label probabilities [batch, max_labels] (f32).
+
+        Probabilities for padded label slots are exactly 0 (hard-masked logits).
+        """
+        ids, mask, n = self._pad_batch(batch)
+        step = self._get_step(ids.shape[1], max_labels)
+        probs = step(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(probs)[:n]
+
+    def run_async(self, batch: TokenizedBatch, max_labels: int):
+        """Dispatch without blocking; returns (device_array, n_valid).
+
+        XLA dispatch is async — the host thread can tokenize the next batch
+        while the device computes (the pipelining the reference's three-phase
+        barrier design precludes; reference main.c:116-155)."""
+        ids, mask, n = self._pad_batch(batch)
+        step = self._get_step(ids.shape[1], max_labels)
+        return step(self.params, jnp.asarray(ids), jnp.asarray(mask)), n
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_bundle(
+        cls,
+        bundle_path: str,
+        runtime: RuntimeConfig | None = None,
+        mesh: Mesh | None = None,
+    ) -> "InferenceEngine":
+        from .convert import bundle as B
+
+        runtime = runtime or RuntimeConfig()
+        cfg = B.load_config(bundle_path)
+        params = B.load_params(bundle_path, quantized=(runtime.quant_mode == "int8"))
+        return cls(cfg, params, runtime, mesh)

@@ -1,0 +1,199 @@
+"""CLI driver: the reference binary's contract, plus converter/serve commands.
+
+Reference contract (reference main.c:54-60, Readme.md:116-118):
+
+    ./build/GLiClass /path/to/data.json [prompt_first: true/false]
+      -> per-text report on stdout + "Execution time: %f seconds"
+
+Here:
+
+    gliclass-tpu run data.json [prompt_first] --bundle BUNDLE [options]
+    gliclass-tpu convert --model-path DIR --save-path BUNDLE [--quantize]
+    gliclass-tpu selftest --bundle BUNDLE   (golden-logit regression gate)
+
+Everything the reference fixed at compile time (BATCH_SIZE/MAX_LENGTH/THRESHOLD/
+NUM_THREADS; reference include/configs.h:4-7, Readme.md:97-113 "changing any
+requires recompile") is a runtime flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .config import RuntimeConfig
+from .data import load_job, string_to_bool
+
+
+def _runtime_from_args(args) -> RuntimeConfig:
+    return RuntimeConfig(
+        batch_size=args.batch_size,
+        max_length=args.max_length,
+        threshold=args.threshold,
+        compute_dtype=args.dtype,
+        quant_mode="int8" if args.int8 else "none",
+        dp_size=args.dp,
+        tp_size=args.tp,
+        tokenizer_workers=args.workers,
+    )
+
+
+def _add_runtime_flags(p: argparse.ArgumentParser):
+    p.add_argument("--bundle", required=True, help="path to a converted weight bundle")
+    p.add_argument("--batch-size", type=int, default=8)  # configs.h:4 default
+    p.add_argument("--max-length", type=int, default=2048)  # configs.h:5 default
+    p.add_argument("--threshold", type=float, default=0.5)  # configs.h:6 default
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--int8", action="store_true", help="use the INT8 weight bundle")
+    p.add_argument("--dp", type=int, default=1, help="data-parallel mesh size")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    p.add_argument("--workers", type=int, default=8, help="tokenizer threads")
+
+
+def cmd_run(args) -> int:
+    from .pipeline import ZeroShotClassificationPipeline
+
+    job = load_job(args.data)
+    prompt_first = (
+        string_to_bool(args.prompt_first) if args.prompt_first is not None else None
+    )
+    runtime = _runtime_from_args(args)
+    pipe = ZeroShotClassificationPipeline.from_bundle(
+        args.bundle, runtime, prompt_first=prompt_first
+    )
+    start = time.perf_counter()
+    out = pipe.classify_job(job)
+    elapsed = time.perf_counter() - start
+
+    sys.stdout.write(out.report)
+    # reference main.c:171 prints exactly this line
+    print(f"Execution time: {elapsed:f} seconds")
+    print(f"Throughput: {job.num_texts / elapsed:.1f} texts/s")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out.to_json(), f, indent=2)
+        print(f"Results written to {args.json_out}")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    """Convert a local HF gliclass checkpoint directory into a weight bundle.
+
+    Expects model.safetensors (or pytorch_model.bin), config.json and
+    tokenizer.json in --model-path (what `huggingface-cli download` or the
+    reference's run_GLiClass.sh-style fetch produces).
+    """
+    import os
+
+    from .config import GLiClassConfig
+    from .convert.convert import export_bundle
+    from .convert.torch_ref import build_torch_gliclass
+    from .tokenization import PromptTokenizer
+
+    mp = args.model_path
+    with open(os.path.join(mp, "config.json")) as f:
+        raw = json.load(f)
+    cfg = GLiClassConfig.from_dict(raw)
+
+    tok = PromptTokenizer.from_file(os.path.join(mp, "tokenizer.json"))
+    if cfg.class_token_index < 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            class_token_index=tok.label_token_id,
+            text_token_index=tok.sep_token_id,
+        )
+
+    model = build_torch_gliclass(cfg)
+    sd_path_st = os.path.join(mp, "model.safetensors")
+    sd_path_pt = os.path.join(mp, "pytorch_model.bin")
+    if os.path.exists(sd_path_st):
+        from safetensors.torch import load_file
+
+        sd = load_file(sd_path_st)
+    elif os.path.exists(sd_path_pt):
+        import torch
+
+        sd = torch.load(sd_path_pt, map_location="cpu", weights_only=True)
+    else:
+        print(f"error: no model.safetensors / pytorch_model.bin in {mp}", file=sys.stderr)
+        return 1
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    if missing:
+        print(f"warning: {len(missing)} missing keys (first: {missing[:3]})", file=sys.stderr)
+    if unexpected:
+        print(f"warning: {len(unexpected)} unexpected keys (first: {unexpected[:3]})", file=sys.stderr)
+
+    export_bundle(model, cfg, tok, args.save_path, quantize=args.quantize)
+    print(f"DONE: bundle written to {args.save_path}")
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    """Golden-logit regression: re-run the bundle's golden samples on the JAX
+    engine and assert atol 1e-3 (the reference's gate; test_onnx.py:30,74)."""
+    import numpy as np
+
+    from .convert import bundle as B
+    from .pipeline import ZeroShotClassificationPipeline
+
+    runtime = _runtime_from_args(args)
+    pipe = ZeroShotClassificationPipeline.from_bundle(args.bundle, runtime)
+    goldens = B.load_goldens(args.bundle)
+    if not goldens:
+        print("no goldens.json in bundle; nothing to check", file=sys.stderr)
+        return 1
+    worst = 0.0
+    for rec in goldens:
+        probs = pipe.predict_probs(rec["texts"], rec["labels"], rec["same_labels"])
+        golden = np.asarray(rec["logits"], dtype=np.float64)
+        got_logits = np.log(np.clip(probs, 1e-12, 1 - 1e-12)) - np.log1p(
+            -np.clip(probs, 1e-12, 1 - 1e-12)
+        )
+        width = golden.shape[1]
+        diff = float(np.abs(got_logits[:, :width] - golden).max())
+        worst = max(worst, diff)
+    tol = 1e-3 if runtime.compute_dtype == "float32" and not args.int8 else 2e-1
+    status = "PASS" if worst <= tol else "FAIL"
+    print(f"golden-logit check: max |delta| = {worst:.6f} (tol {tol}) {status}")
+    return 0 if status == "PASS" else 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="gliclass-tpu",
+        description="TPU-native GLiClass zero-shot classification engine",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="classify a JSON job file")
+    p_run.add_argument("data", help="path to the job JSON (reference schema)")
+    p_run.add_argument(
+        "prompt_first",
+        nargs="?",
+        default=None,
+        help="true/false override; defaults to the bundle config",
+    )
+    p_run.add_argument("--json-out", default=None, help="write structured results here")
+    _add_runtime_flags(p_run)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_conv = sub.add_parser("convert", help="convert an HF gliclass checkpoint to a bundle")
+    p_conv.add_argument("--model-path", required=True)
+    p_conv.add_argument("--save-path", required=True)
+    p_conv.add_argument("--quantize", action="store_true")
+    p_conv.set_defaults(fn=cmd_convert)
+
+    p_self = sub.add_parser("selftest", help="golden-logit regression check")
+    _add_runtime_flags(p_self)
+    p_self.set_defaults(fn=cmd_selftest)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

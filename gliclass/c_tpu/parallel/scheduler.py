@@ -1,0 +1,202 @@
+"""Batch planning + continuous-batching scheduler.
+
+Replaces the reference's L4/L5 scheduling design — three strict barrier phases
+(all preprocess, then all inference, then all postprocess; reference
+main.c:116-155) over compile-time-fixed batches (BATCH_SIZE,
+reference include/configs.h:4) — with:
+
+  * shape-bucketed batch assembly: prompts are grouped by (seq bucket, label
+    bucket) so every device step hits a cached XLA executable (SURVEY §7 hard
+    part #3: the reference's pad-to-batch-max is exactly what XLA punishes);
+  * software pipelining: tokenization of batch k+1 overlaps device execution of
+    batch k via async dispatch (no phase barriers);
+  * a thread-safe streaming scheduler with micro-batching for serving
+    (requests arrive continuously; each is answered exactly once).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Sequence
+
+import numpy as np
+
+from ..config import RuntimeConfig
+from ..engine import InferenceEngine
+from ..prompting import pack_prompt
+from ..tokenization import PromptTokenizer, TokenizedBatch
+
+
+@dataclass
+class PlannedBatch:
+    indices: list[int]  # positions in the original request order
+    batch: TokenizedBatch
+    max_labels: int
+
+
+def plan_batches(
+    tokenizer: PromptTokenizer,
+    prompts: Sequence[str],
+    label_counts: Sequence[int],
+    runtime: RuntimeConfig,
+) -> list[PlannedBatch]:
+    """Tokenize all prompts and group them into shape-bucketed batches.
+
+    Greedy assembly: requests are bucketed by (seq bucket, label bucket); each
+    bucket is chunked into batches of ``runtime.batch_size``. Returned batches
+    preserve no global order — each carries its original indices for demux.
+    """
+    enc = tokenizer.encode_batch_parallel(
+        prompts, max_length=runtime.max_length, pad_to=None,
+        workers=runtime.tokenizer_workers,
+    )
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(prompts)):
+        sb = runtime.bucket_for_seq(int(enc.lengths[i]))
+        lb = runtime.bucket_for_labels(label_counts[i])
+        buckets.setdefault((sb, lb), []).append(i)
+
+    planned: list[PlannedBatch] = []
+    for (sb, lb), idxs in sorted(buckets.items()):
+        for k in range(0, len(idxs), runtime.batch_size):
+            chunk = idxs[k : k + runtime.batch_size]
+            ids = np.full((len(chunk), sb), tokenizer.pad_token_id, dtype=np.int32)
+            mask = np.zeros((len(chunk), sb), dtype=np.int32)
+            lens = np.zeros((len(chunk),), dtype=np.int32)
+            for row, i in enumerate(chunk):
+                L = min(int(enc.lengths[i]), sb)
+                ids[row, :L] = enc.input_ids[i, :L]
+                mask[row, :L] = 1
+                lens[row] = L
+            planned.append(
+                PlannedBatch(chunk, TokenizedBatch(ids, mask, lens), lb)
+            )
+    return planned
+
+
+def run_planned(
+    engine: InferenceEngine,
+    planned: Sequence[PlannedBatch],
+    num_requests: int,
+    max_label_count: int,
+) -> np.ndarray:
+    """Execute planned batches with async pipelining; demux into request order.
+
+    Returns probs [num_requests, max_label_count] (f32); slots beyond each
+    request's label count are 0.
+    """
+    out = np.zeros((num_requests, max_label_count), dtype=np.float32)
+    in_flight: list[tuple[PlannedBatch, Any, int]] = []
+
+    def drain(entry):
+        pb, dev, n = entry
+        probs = np.asarray(dev)[:n]
+        width = min(pb.max_labels, max_label_count)
+        for row, i in enumerate(pb.indices):
+            out[i, :width] = probs[row, :width]
+
+    for pb in planned:
+        dev, n = engine.run_async(pb.batch, pb.max_labels)
+        in_flight.append((pb, dev, n))
+        # keep at most 2 batches in flight: device computes batch k while the
+        # host prepares k+1 (double buffering, not unbounded queueing)
+        if len(in_flight) > 2:
+            drain(in_flight.pop(0))
+    for entry in in_flight:
+        drain(entry)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming (continuous batching) scheduler
+# ---------------------------------------------------------------------------
+@dataclass
+class _Request:
+    prompt: str
+    num_labels: int
+    future: Future = field(default_factory=Future)
+
+
+class StreamingScheduler:
+    """Continuous-batching request scheduler for serving.
+
+    Requests are enqueued from any thread; a dispatcher thread micro-batches
+    them (up to ``runtime.batch_size``, waiting at most ``max_wait_ms`` for the
+    batch to fill), groups by shape bucket, executes on the engine, and
+    fulfils each request's Future exactly once.
+    """
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        tokenizer: PromptTokenizer,
+        runtime: RuntimeConfig | None = None,
+        max_wait_ms: float = 5.0,
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.runtime = runtime or RuntimeConfig()
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: queue.Queue[_Request | None] = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._running = True
+        self._thread.start()
+
+    def submit(self, text: str, labels: Sequence[str], prompt_first: bool) -> Future:
+        """Returns a Future resolving to probs np.ndarray [len(labels)]."""
+        prompt = pack_prompt(text, labels, prompt_first)
+        req = _Request(prompt, len(labels))
+        self._q.put(req)
+        return req.future
+
+    def close(self):
+        self._running = False
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> list[_Request]:
+        """Block for one request, then soak up to batch_size for max_wait_s."""
+        first = self._q.get()
+        if first is None:
+            return []
+        reqs = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(reqs) < self.runtime.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                r = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if r is None:
+                self._q.put(None)  # re-signal shutdown for the outer loop
+                break
+            reqs.append(r)
+        return reqs
+
+    def _loop(self):
+        while self._running:
+            reqs = self._collect()
+            if not reqs:
+                break
+            try:
+                planned = plan_batches(
+                    self.tokenizer,
+                    [r.prompt for r in reqs],
+                    [r.num_labels for r in reqs],
+                    self.runtime,
+                )
+                maxw = max(r.num_labels for r in reqs)
+                probs = run_planned(self.engine, planned, len(reqs), maxw)
+                for i, r in enumerate(reqs):
+                    r.future.set_result(probs[i, : r.num_labels])
+            except Exception as e:  # fail every request of the batch, not the loop
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)

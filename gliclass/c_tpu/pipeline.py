@@ -1,0 +1,129 @@
+"""ZeroShotClassificationPipeline: the user-facing end-to-end API.
+
+Covers the reference's whole L5/L3 flow (main.c: parse job -> preprocess ->
+infer -> postprocess -> report) as one object:
+
+    pipe = ZeroShotClassificationPipeline.from_bundle("path/to/bundle")
+    results = pipe(texts, labels, classification_type="multi-label")
+
+plus ``classify_job`` for the reference's exact JSON job contract
+(reference Readme.md:121-150) and a reference-format stdout report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import numpy as np
+
+from .config import GLiClassConfig, RuntimeConfig
+from .data import ClassificationJob
+from .engine import InferenceEngine
+from .parallel.scheduler import plan_batches, run_planned
+from .postprocess import TextResult, decide_batch, format_report
+from .prompting import pack_prompts
+from .tokenization import PromptTokenizer
+
+
+@dataclass
+class JobOutput:
+    results: list[TextResult]
+    probs: np.ndarray  # [num_texts, max_label_count] f32
+    report: str
+
+    def to_json(self) -> list[dict]:
+        return [r.to_dict() for r in self.results]
+
+
+class ZeroShotClassificationPipeline:
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        tokenizer: PromptTokenizer,
+        runtime: RuntimeConfig | None = None,
+        prompt_first: bool | None = None,
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.runtime = runtime or engine.runtime
+        # prompt_first normally comes from the bundle config (the reference
+        # reads it from the model's config.json via its launcher,
+        # reference run_GLiClass.sh:84-89); CLI can override (main.c:67).
+        self.prompt_first = (
+            engine.cfg.prompt_first if prompt_first is None else prompt_first
+        )
+
+    @classmethod
+    def from_bundle(
+        cls,
+        bundle_path: str,
+        runtime: RuntimeConfig | None = None,
+        mesh=None,
+        prompt_first: bool | None = None,
+    ) -> "ZeroShotClassificationPipeline":
+        from .convert import bundle as B
+
+        engine = InferenceEngine.from_bundle(bundle_path, runtime, mesh)
+        tokenizer = PromptTokenizer.from_file(B.tokenizer_path(bundle_path))
+        return cls(engine, tokenizer, runtime, prompt_first)
+
+    # ------------------------------------------------------------------
+    def predict_probs(
+        self,
+        texts: Sequence[str],
+        labels: Sequence[Sequence[str]],
+        same_labels: bool,
+    ) -> np.ndarray:
+        """[num_texts, max_label_count] per-label probabilities."""
+        prompts = pack_prompts(texts, labels, same_labels, self.prompt_first)
+        counts = [
+            len(labels[0]) if same_labels else len(labels[i])
+            for i in range(len(texts))
+        ]
+        planned = plan_batches(self.tokenizer, prompts, counts, self.runtime)
+        return run_planned(self.engine, planned, len(texts), max(counts))
+
+    def __call__(
+        self,
+        texts: Sequence[str] | str,
+        labels: Sequence[Sequence[str]] | Sequence[str],
+        classification_type: str = "multi-label",
+        threshold: float | None = None,
+    ) -> list[TextResult]:
+        """gliclass-package-style API: shared label list, or one list per text."""
+        if isinstance(texts, str):
+            texts = [texts]
+        same_labels = bool(labels) and isinstance(labels[0], str)
+        if same_labels:
+            labels = [list(labels)]
+        probs = self.predict_probs(texts, labels, same_labels)
+        counts = [
+            len(labels[0]) if same_labels else len(labels[i])
+            for i in range(len(texts))
+        ]
+        return decide_batch(
+            probs,
+            texts,
+            labels,
+            same_labels,
+            classification_type,
+            self.runtime.threshold if threshold is None else threshold,
+            num_valid=counts,
+        )
+
+    # ------------------------------------------------------------------
+    def classify_job(self, job: ClassificationJob) -> JobOutput:
+        """The reference CLI contract end-to-end (reference main.c:116-155)."""
+        probs = self.predict_probs(job.texts, job.labels, job.same_labels)
+        counts = [len(job.labels_for(i)) for i in range(job.num_texts)]
+        results = decide_batch(
+            probs,
+            job.texts,
+            job.labels,
+            job.same_labels,
+            job.classification_type,
+            self.runtime.threshold,
+            num_valid=counts,
+        )
+        return JobOutput(results, probs, format_report(results))

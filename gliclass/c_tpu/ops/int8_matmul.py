@@ -91,6 +91,10 @@ def _int8_matmul_xla(x, w_q, scale):
 
 
 def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("GLICLASS_TPU_DISABLE_PALLAS") == "1":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:

@@ -77,10 +77,14 @@ def llama_attention(
 
     B, _, S, _ = q.shape
     qg = q.reshape(B, nkv, groups, S, d)
-    scores = jnp.einsum(
-        "bkgid,bkjd->bkgij", qg, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(d)
-    scores = scores + mask_bias[:, None, None, :, :]
+    # Score tensors stay in compute dtype in serving mode (bf16) to halve HBM
+    # traffic; fp32 in parity mode. Softmax always reduces in fp32.
+    score_dtype = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+    scores = (
+        jnp.einsum("bkgid,bkjd->bkgij", qg, k, preferred_element_type=score_dtype)
+        / math.sqrt(d)
+    ).astype(score_dtype)
+    scores = scores + mask_bias[:, None, None, :, :].astype(score_dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
     ctx = jnp.einsum("bkgij,bkjd->bkgid", probs, v, preferred_element_type=jnp.float32)
     ctx = ctx.astype(compute_dtype).reshape(B, nh, S, d)

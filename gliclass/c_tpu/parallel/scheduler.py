@@ -52,7 +52,7 @@ def plan_batches(
     """
     enc = tokenizer.encode_batch_parallel(
         prompts, max_length=runtime.max_length, pad_to=None,
-        workers=runtime.tokenizer_workers,
+        chunk_size=128, workers=runtime.tokenizer_workers,
     )
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(len(prompts)):
@@ -92,22 +92,17 @@ def run_planned(
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
     in_flight: list[tuple[PlannedBatch, Any, int]] = []
 
-    def drain(entry):
-        pb, dev, n = entry
-        probs = np.asarray(dev)[:n]
-        width = min(pb.max_labels, max_label_count)
-        for row, i in enumerate(pb.indices):
-            out[i, :width] = probs[row, :width]
-
+    # Dispatch everything first: XLA queues the steps back-to-back on device,
+    # and per-batch outputs are tiny ([batch, labels] probabilities), so there
+    # is no memory reason to throttle. Draining afterwards overlaps each
+    # device->host transfer with the remaining device compute.
     for pb in planned:
         dev, n = engine.run_async(pb.batch, pb.max_labels)
         in_flight.append((pb, dev, n))
-        # keep at most 2 batches in flight: device computes batch k while the
-        # host prepares k+1 (double buffering, not unbounded queueing)
-        if len(in_flight) > 2:
-            drain(in_flight.pop(0))
-    for entry in in_flight:
-        drain(entry)
+    for pb, dev, n in in_flight:
+        probs = np.asarray(dev)[:n]
+        width = min(pb.max_labels, max_label_count)
+        out[np.asarray(pb.indices), :width] = probs[:, :width]
     return out
 
 

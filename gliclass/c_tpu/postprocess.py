@@ -115,12 +115,54 @@ def decide_batch(
     Label lookup mirrors the reference: ``labels[0]`` when ``same_labels`` else
     ``labels[i]`` (reference src/postprocessor.c:96-105,130-139).
     """
+    probs = np.asarray(probs, dtype=np.float32)
+    B, C = probs.shape
+    if classification_type not in (MULTI_LABEL, SINGLE_LABEL):
+        raise ValueError(
+            f"This type of classification is not supported: {classification_type!r}"
+        )
+
+    # Vectorized decision kernel (the reference's per-logit host loop,
+    # src/postprocessor.c:88-147, is O(B*C) python here — numpy instead).
+    if num_valid is not None:
+        nv = np.asarray(num_valid, dtype=np.int64)
+    else:
+        nv = np.asarray(
+            [len(labels[0] if same_labels else labels[i]) for i in range(B)],
+            dtype=np.int64,
+        )
+    # Columns the reference would scan: all C (it trusts the model width);
+    # nv only masks engine-side padded slots.
+    valid = np.arange(C)[None, :] < np.maximum(nv, 0)[:, None]
+
     results = []
-    for i, text in enumerate(texts):
-        ls = labels[0] if same_labels else labels[i]
-        nv = None if num_valid is None else int(num_valid[i])
-        decisions = decide_row(probs[i], ls, classification_type, threshold, nv)
-        results.append(TextResult(text_offset + i, text, decisions))
+    if classification_type == MULTI_LABEL:
+        passing = (probs > threshold) & valid  # strict > (postprocessor.c:95)
+        rows, cols = np.nonzero(passing)
+        per_row: list[list[LabelScore]] = [[] for _ in range(B)]
+        for r, c in zip(rows.tolist(), cols.tolist()):
+            ls = labels[0] if same_labels else labels[r]
+            label = ls[c] if c < len(ls) else UNKNOWN_LABEL
+            per_row[r].append(LabelScore(label, float(probs[r, c]), c))
+        for i, text in enumerate(texts):
+            results.append(TextResult(text_offset + i, text, tuple(per_row[i])))
+    else:
+        masked = np.where(valid, probs, 0.0)
+        best = masked.argmax(axis=1)  # first max wins ties, like the strict scan
+        best_p = masked[np.arange(B), best]
+        # reference: max_prob starts at 0.0 -> all-zero rows keep max_idx=-1
+        best = np.where(best_p > 0.0, best, -1)
+        for i, text in enumerate(texts):
+            ls = labels[0] if same_labels else labels[i]
+            idx = int(best[i])
+            label = ls[idx] if 0 <= idx < len(ls) else UNKNOWN_LABEL
+            results.append(
+                TextResult(
+                    text_offset + i,
+                    text,
+                    (LabelScore(label, float(best_p[i]), idx),),
+                )
+            )
     return results
 
 

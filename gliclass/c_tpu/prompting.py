@@ -49,6 +49,16 @@ def pack_prompts(
     ``labels`` indexing matches the reference: ``labels[0]`` when ``same_labels``
     else ``labels[i]`` (reference src/preprocessor.c:33-38).
     """
+    if len(texts) >= 256:
+        # Large jobs: threaded C++ packer (native/host_ops.cpp), exact same
+        # output bytes; falls back silently when the library isn't built.
+        from . import native_ops
+
+        packed = native_ops.pack_prompts_native(
+            texts, labels, same_labels, prompt_first
+        )
+        if packed is not None:
+            return packed
     out = []
     for i, text in enumerate(texts):
         ls = labels[0] if same_labels else labels[i]

@@ -40,8 +40,24 @@ def _runtime_from_args(args) -> RuntimeConfig:
     )
 
 
+def _resolve_bundle(args) -> str:
+    if args.bundle:
+        return args.bundle
+    if args.model:
+        from .fetch import ensure_bundle
+
+        return ensure_bundle(args.model, quantize=True)
+    raise SystemExit("error: pass --bundle PATH or --model HF_NAME")
+
+
 def _add_runtime_flags(p: argparse.ArgumentParser):
-    p.add_argument("--bundle", required=True, help="path to a converted weight bundle")
+    p.add_argument("--bundle", default=None, help="path to a converted weight bundle")
+    p.add_argument(
+        "--model",
+        default=None,
+        help="HF model name (e.g. knowledgator/gliclass-base-v1.0): fetch + "
+        "convert + cache automatically (run_GLiClass.sh behavior)",
+    )
     p.add_argument("--batch-size", type=int, default=8)  # configs.h:4 default
     p.add_argument("--max-length", type=int, default=2048)  # configs.h:5 default
     p.add_argument("--threshold", type=float, default=0.5)  # configs.h:6 default
@@ -61,7 +77,7 @@ def cmd_run(args) -> int:
     )
     runtime = _runtime_from_args(args)
     pipe = ZeroShotClassificationPipeline.from_bundle(
-        args.bundle, runtime, prompt_first=prompt_first
+        _resolve_bundle(args), runtime, prompt_first=prompt_first
     )
     start = time.perf_counter()
     out = pipe.classify_job(job)
@@ -83,52 +99,27 @@ def cmd_convert(args) -> int:
 
     Expects model.safetensors (or pytorch_model.bin), config.json and
     tokenizer.json in --model-path (what `huggingface-cli download` or the
-    reference's run_GLiClass.sh-style fetch produces).
+    `fetch` command produces).
     """
-    import os
+    from .fetch import convert_checkpoint_dir
 
-    from .config import GLiClassConfig
-    from .convert.convert import export_bundle
-    from .convert.torch_ref import build_torch_gliclass
-    from .tokenization import PromptTokenizer
-
-    mp = args.model_path
-    with open(os.path.join(mp, "config.json")) as f:
-        raw = json.load(f)
-    cfg = GLiClassConfig.from_dict(raw)
-
-    tok = PromptTokenizer.from_file(os.path.join(mp, "tokenizer.json"))
-    if cfg.class_token_index < 0:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg,
-            class_token_index=tok.label_token_id,
-            text_token_index=tok.sep_token_id,
+    try:
+        convert_checkpoint_dir(
+            args.model_path, args.save_path, args.model_path, quantize=args.quantize
         )
-
-    model = build_torch_gliclass(cfg)
-    sd_path_st = os.path.join(mp, "model.safetensors")
-    sd_path_pt = os.path.join(mp, "pytorch_model.bin")
-    if os.path.exists(sd_path_st):
-        from safetensors.torch import load_file
-
-        sd = load_file(sd_path_st)
-    elif os.path.exists(sd_path_pt):
-        import torch
-
-        sd = torch.load(sd_path_pt, map_location="cpu", weights_only=True)
-    else:
-        print(f"error: no model.safetensors / pytorch_model.bin in {mp}", file=sys.stderr)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 1
-    missing, unexpected = model.load_state_dict(sd, strict=False)
-    if missing:
-        print(f"warning: {len(missing)} missing keys (first: {missing[:3]})", file=sys.stderr)
-    if unexpected:
-        print(f"warning: {len(unexpected)} unexpected keys (first: {unexpected[:3]})", file=sys.stderr)
-
-    export_bundle(model, cfg, tok, args.save_path, quantize=args.quantize)
     print(f"DONE: bundle written to {args.save_path}")
+    return 0
+
+
+def cmd_fetch(args) -> int:
+    """Fetch an HF model and prepare its serving bundle (launcher parity)."""
+    from .fetch import ensure_bundle
+
+    path = ensure_bundle(args.model_name, quantize=not args.no_quantize, force=args.force)
+    print(path)
     return 0
 
 
@@ -141,8 +132,9 @@ def cmd_selftest(args) -> int:
     from .pipeline import ZeroShotClassificationPipeline
 
     runtime = _runtime_from_args(args)
-    pipe = ZeroShotClassificationPipeline.from_bundle(args.bundle, runtime)
-    goldens = B.load_goldens(args.bundle)
+    bundle_path = _resolve_bundle(args)
+    pipe = ZeroShotClassificationPipeline.from_bundle(bundle_path, runtime)
+    goldens = B.load_goldens(bundle_path)
     if not goldens:
         print("no goldens.json in bundle; nothing to check", file=sys.stderr)
         return 1
@@ -186,6 +178,12 @@ def main(argv=None) -> int:
     p_conv.add_argument("--save-path", required=True)
     p_conv.add_argument("--quantize", action="store_true")
     p_conv.set_defaults(fn=cmd_convert)
+
+    p_fetch = sub.add_parser("fetch", help="fetch an HF model and build its bundle")
+    p_fetch.add_argument("model_name")
+    p_fetch.add_argument("--no-quantize", action="store_true")
+    p_fetch.add_argument("--force", action="store_true")
+    p_fetch.set_defaults(fn=cmd_fetch)
 
     p_self = sub.add_parser("selftest", help="golden-logit regression check")
     _add_runtime_flags(p_self)

@@ -1,0 +1,115 @@
+"""Tests for auxiliary subsystems: metrics, eval F1 gate, fetch cache logic,
+training checkpoints (orbax)."""
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+
+class TestMetrics:
+    def test_stage_timer(self):
+        from gliclass.c_tpu.utils.metrics import StageTimer
+
+        t = StageTimer()
+        with t.stage("tokenize"):
+            time.sleep(0.01)
+        with t.stage("device"):
+            time.sleep(0.02)
+        t.add_count("texts", 100)
+        d = t.to_dict()
+        assert d["tokenize_s"] > 0 and d["device_s"] > d["tokenize_s"]
+        assert d["texts"] == 100
+        assert d["texts_per_s"] > 0
+        assert "tokenize=" in t.report()
+
+
+class TestEval:
+    def test_perfect_f1(self):
+        from gliclass.c_tpu.utils.eval import multilabel_f1
+
+        preds = [["a", "b"], ["c"]]
+        res = multilabel_f1(preds, preds)
+        assert res.micro_f1 == 1.0 and res.macro_f1 == 1.0
+
+    def test_partial_f1(self):
+        from gliclass.c_tpu.utils.eval import multilabel_f1
+
+        res = multilabel_f1([["a"], ["b", "x"]], [["a", "b"], ["b"]])
+        # tp=2 (a, b), fp=1 (x), fn=1 (b missing in first)
+        assert res.tp == 2 and res.fp == 1 and res.fn == 1
+        assert 0 < res.micro_f1 < 1
+
+    def test_f1_delta_gate(self):
+        from gliclass.c_tpu.utils.eval import f1_delta
+
+        refs = [["a"], ["b"], ["c"]]
+        a = [["a"], ["b"], ["c"]]
+        b = [["a"], ["b"], []]
+        assert f1_delta(a, a, refs) == 0.0
+        assert f1_delta(a, b, refs) > 0.0
+
+    def test_decisions_to_label_sets(self):
+        from gliclass.c_tpu.postprocess import LabelScore, TextResult
+        from gliclass.c_tpu.utils.eval import decisions_to_label_sets
+
+        r = TextResult(0, "t", (LabelScore("a", 0.9, 0), LabelScore("b", 0.8, 1)))
+        assert decisions_to_label_sets([r]) == [["a", "b"]]
+
+
+class TestFetchCache:
+    def test_bundle_validity_check(self, tmp_path):
+        from gliclass.c_tpu.fetch import _bundle_is_valid, bundle_cache_path
+
+        p = bundle_cache_path("org/model", str(tmp_path))
+        assert "org--model" in p
+        os.makedirs(p)
+        assert not _bundle_is_valid(p, "org/model")
+        # write the expected files
+        with open(os.path.join(p, "config.json"), "w") as f:
+            json.dump({"original_model_name": "org/model"}, f)
+        for fname in ("weights.safetensors", "tokenizer.json"):
+            open(os.path.join(p, fname), "w").write("x")
+        assert _bundle_is_valid(p, "org/model")
+        # name mismatch -> invalid (run_GLiClass.sh:62-69 behavior)
+        assert not _bundle_is_valid(p, "org/other")
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        import jax
+        import optax
+
+        from gliclass.c_tpu.config import BackboneConfig, GLiClassConfig
+        from gliclass.c_tpu.models.gliclass import init_gliclass_params
+        from gliclass.c_tpu.training.checkpoint import (
+            restore_train_state,
+            save_train_state,
+        )
+        from gliclass.c_tpu.training.train import init_train_state
+
+        cfg = GLiClassConfig(
+            hidden_size=16,
+            class_token_index=7,
+            backbone=BackboneConfig(
+                vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=32,
+                max_position_embeddings=16, position_buckets=4,
+            ),
+        )
+        params = init_gliclass_params(jax.random.key(0), cfg)
+        opt = optax.adam(1e-3)
+        state = init_train_state(params, opt)
+        path = str(tmp_path / "ckpt")
+        save_train_state(path, state)
+
+        state2 = init_train_state(
+            init_gliclass_params(jax.random.key(1), cfg), opt
+        )
+        restored = restore_train_state(path, state2)
+        a = np.asarray(state.params["head"]["text_projector"]["linear_1"]["w"])
+        b = np.asarray(restored.params["head"]["text_projector"]["linear_1"]["w"])
+        np.testing.assert_array_equal(a, b)
+        assert int(restored.step) == 0

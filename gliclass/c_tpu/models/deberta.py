@@ -131,6 +131,7 @@ def disentangled_attention(
     p2c_cols: jax.Array,
     cfg: BackboneConfig,
     compute_dtype,
+    key_mask: jax.Array | None = None,
 ) -> jax.Array:
     """One disentangled self-attention block (content + c2p + p2c scores).
 
@@ -145,6 +146,34 @@ def disentangled_attention(
     q = _split_heads(linear(p_attn["q"], x, compute_dtype), nh)  # [B,h,S,d]
     k = _split_heads(linear(p_attn["k"], x, compute_dtype), nh)
     v = _split_heads(linear(p_attn["v"], x, compute_dtype), nh)
+
+    # Fused Pallas path: whole attention (content + c2p/p2c bias + softmax +
+    # PV) in one VMEM-resident kernel — no [B,h,S,*] tensors touch HBM.
+    if (
+        cfg.relative_attention
+        and key_mask is not None
+        and set(cfg.pos_att_type) == {"c2p", "p2c"}
+    ):
+        from ..ops.fused_attention import fusable, fused_disentangled_attention
+
+        S = x.shape[-2]
+        if fusable(S, cfg.head_dim, compute_dtype):
+            if cfg.share_att_key:
+                pos_q_p, pos_k_p = p_attn["q"], p_attn["k"]
+            else:
+                pos_q_p = p_attn.get("pos_q", p_attn["q"])
+                pos_k_p = p_attn.get("pos_k", p_attn["k"])
+            pos_k = _split_heads(linear(pos_k_p, rel_emb, compute_dtype), nh)
+            pos_q = _split_heads(linear(pos_q_p, rel_emb, compute_dtype), nh)
+            pos_k_rel = jnp.take(pos_k, c2p_cols, axis=1)  # [h,2S-1,d]
+            pos_q_rel = jnp.take(pos_q, p2c_cols, axis=1)
+            ctx = fused_disentangled_attention(
+                q, k, v, pos_k_rel, pos_q_rel, key_mask, scale
+            )
+            ctx = jnp.moveaxis(ctx, -3, -2).reshape(
+                *x.shape[:-1], nh * cfg.head_dim
+            )
+            return linear(p_attn["o"], ctx, compute_dtype)
 
     # Score/bias tensors are [B,h,S,S]-sized — the layer's dominant HBM
     # traffic. In bf16 serving mode they stay bf16 (softmax still reduces in
@@ -203,10 +232,12 @@ def encoder_layer(
     p2c_cols: jax.Array,
     cfg: BackboneConfig,
     compute_dtype,
+    key_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Post-LN transformer layer: attn -> add&norm -> FFN -> add&norm."""
     attn_out = disentangled_attention(
-        p["attn"], x, rel_emb, pair_mask, c2p_cols, p2c_cols, cfg, compute_dtype
+        p["attn"], x, rel_emb, pair_mask, c2p_cols, p2c_cols, cfg, compute_dtype,
+        key_mask,
     )
     x = layer_norm(p["attn"]["ln"], attn_out + x, cfg.layer_norm_eps)
     h = linear(p["ffn"]["up"], x, compute_dtype)
@@ -269,7 +300,8 @@ def deberta_encode(
 
     def body(x, layer_params):
         y = encoder_layer(
-            layer_params, x, rel_emb, pair_mask, c2p_cols, p2c_cols, cfg, compute_dtype
+            layer_params, x, rel_emb, pair_mask, c2p_cols, p2c_cols, cfg,
+            compute_dtype, attention_mask
         )
         return y, None
 

@@ -1,0 +1,76 @@
+"""Fused Pallas disentangled-attention kernel vs the XLA reference path
+(interpret mode on CPU — same kernel code that runs compiled on TPU)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gliclass.c_tpu.models.deberta import rel_bias_columns, rel_to_abs
+from gliclass.c_tpu.ops.fused_attention import fused_disentangled_attention
+
+
+def xla_reference(q, k, v, pos_k_rel, pos_q_rel, mask, scale):
+    """The models/deberta.py score path, inlined (fp32)."""
+    c2p_rel = jnp.einsum("bhid,hmd->bhim", q, pos_k_rel)
+    p2c_rel = jnp.einsum("bhjd,hmd->bhjm", k, pos_q_rel)
+    scores = jnp.einsum("bhid,bhjd->bhij", q, k)
+    scores = scores + rel_to_abs(c2p_rel) + jnp.swapaxes(rel_to_abs(p2c_rel), -1, -2)
+    scores = scores / scale
+    key_ok = mask.astype(bool)[:, None, None, :]
+    scores = jnp.where(key_ok, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", p, v)
+
+
+@pytest.mark.parametrize("S", [8, 16])
+def test_fused_matches_xla(S):
+    B, h, d = 2, 3, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    W = 2 * S - 1
+    pos_k = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    pos_q = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    mask = np.ones((B, S), dtype=np.int32)
+    mask[1, S - 3 :] = 0
+    mask = jnp.asarray(mask)
+    scale = math.sqrt(d * 3)
+
+    ref = np.asarray(xla_reference(q, k, v, pos_k, pos_q, mask, scale))
+    out = np.asarray(
+        fused_disentangled_attention(q, k, v, pos_k, pos_q, mask, scale)
+    )
+    valid = np.asarray(mask).astype(bool)
+    # compare at valid query positions (padded rows are don't-care)
+    for b in range(B):
+        np.testing.assert_allclose(
+            out[b, :, valid[b]], ref[b, :, valid[b]], atol=1e-5, rtol=1e-5
+        )
+
+
+def test_fused_with_real_bias_columns():
+    """End-to-end shape check with real bucketed columns (taken tables)."""
+    from gliclass.c_tpu.models.deberta import log_bucket
+
+    B, h, S, d, span = 1, 2, 16, 8, 8
+    rng = np.random.default_rng(1)
+    table_k = jnp.asarray(rng.normal(size=(h, 2 * span, d)).astype(np.float32))
+    table_q = jnp.asarray(rng.normal(size=(h, 2 * span, d)).astype(np.float32))
+    c2p_cols, p2c_cols = rel_bias_columns(S, span, 2 * span, 32)
+    pos_k_rel = jnp.take(table_k, jnp.asarray(c2p_cols), axis=1)
+    pos_q_rel = jnp.take(table_q, jnp.asarray(p2c_cols), axis=1)
+    q = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    mask = jnp.ones((B, S), jnp.int32)
+    scale = math.sqrt(d * 3)
+    ref = np.asarray(xla_reference(q, k, v, pos_k_rel, pos_q_rel, mask, scale))
+    out = np.asarray(
+        fused_disentangled_attention(q, k, v, pos_k_rel, pos_q_rel, mask, scale)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

@@ -39,6 +39,11 @@ def main() -> None:
     import numpy as np
 
     import jax
+
+    # Persistent compile cache: recompiles through the remote-compile tunnel
+    # are expensive; cache them across bench runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gliclass.c_tpu.config import GLiClassConfig, RuntimeConfig, deberta_v3_config
@@ -115,6 +120,28 @@ def main() -> None:
     per_chip = texts_per_s / max(n_chips, 1)
     log(f"runs: {[f'{r:.3f}s' for r in runs]}; {texts_per_s:.1f} texts/s "
         f"({per_chip:.1f}/chip); sample decisions: {len(out.results[0].decisions)}")
+    log(f"stage breakdown: {out.timings}")
+
+    # Secondary config (stderr only): RAG-reranker shape — long passages at
+    # S=512 exercising the fused attention kernel (BASELINE.json config #3).
+    if os.environ.get("BENCH_SKIP_RERANKER") != "1":
+        rr_texts = [
+            " ".join(rng.choice(words, size=300)) for _ in range(128)
+        ]
+        rr_job = parse_job(
+            {
+                "texts": rr_texts,
+                "labels": [["relevant", "irrelevant"]],
+                "same_labels": True,
+                "classification_type": "single-label",
+            }
+        )
+        pipe.classify_job(rr_job)  # compile
+        t = time.perf_counter()
+        rr = pipe.classify_job(rr_job)
+        dt = time.perf_counter() - t
+        log(f"reranker config (128 passages, S=512 bucket): "
+            f"{len(rr_texts)/dt:.1f} texts/s; stages {rr.timings}")
 
     print(
         json.dumps(

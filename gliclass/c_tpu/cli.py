@@ -87,6 +87,8 @@ def cmd_run(args) -> int:
     # reference main.c:171 prints exactly this line
     print(f"Execution time: {elapsed:f} seconds")
     print(f"Throughput: {job.num_texts / elapsed:.1f} texts/s")
+    if args.verbose and out.timings:
+        print(f"Stages: {json.dumps(out.timings)}", file=sys.stderr)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out.to_json(), f, indent=2)
@@ -170,6 +172,7 @@ def main(argv=None) -> int:
         help="true/false override; defaults to the bundle config",
     )
     p_run.add_argument("--json-out", default=None, help="write structured results here")
+    p_run.add_argument("--verbose", action="store_true", help="print stage timings")
     _add_runtime_flags(p_run)
     p_run.set_defaults(fn=cmd_run)
 

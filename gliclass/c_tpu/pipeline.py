@@ -31,6 +31,7 @@ class JobOutput:
     results: list[TextResult]
     probs: np.ndarray  # [num_texts, max_label_count] f32
     report: str
+    timings: dict | None = None  # per-stage breakdown (utils.metrics)
 
     def to_json(self) -> list[dict]:
         return [r.to_dict() for r in self.results]
@@ -74,15 +75,24 @@ class ZeroShotClassificationPipeline:
         texts: Sequence[str],
         labels: Sequence[Sequence[str]],
         same_labels: bool,
+        timer=None,
     ) -> np.ndarray:
         """[num_texts, max_label_count] per-label probabilities."""
-        prompts = pack_prompts(texts, labels, same_labels, self.prompt_first)
+        from .utils.metrics import StageTimer
+
+        timer = timer if timer is not None else StageTimer()
+        with timer.stage("pack"):
+            prompts = pack_prompts(texts, labels, same_labels, self.prompt_first)
         counts = [
             len(labels[0]) if same_labels else len(labels[i])
             for i in range(len(texts))
         ]
-        planned = plan_batches(self.tokenizer, prompts, counts, self.runtime)
-        return run_planned(self.engine, planned, len(texts), max(counts))
+        with timer.stage("tokenize_plan"):
+            planned = plan_batches(self.tokenizer, prompts, counts, self.runtime)
+        with timer.stage("device"):
+            probs = run_planned(self.engine, planned, len(texts), max(counts))
+        timer.add_count("texts", len(texts))
+        return probs
 
     def __call__(
         self,
@@ -115,15 +125,19 @@ class ZeroShotClassificationPipeline:
     # ------------------------------------------------------------------
     def classify_job(self, job: ClassificationJob) -> JobOutput:
         """The reference CLI contract end-to-end (reference main.c:116-155)."""
-        probs = self.predict_probs(job.texts, job.labels, job.same_labels)
+        from .utils.metrics import StageTimer
+
+        timer = StageTimer()
+        probs = self.predict_probs(job.texts, job.labels, job.same_labels, timer)
         counts = [len(job.labels_for(i)) for i in range(job.num_texts)]
-        results = decide_batch(
-            probs,
-            job.texts,
-            job.labels,
-            job.same_labels,
-            job.classification_type,
-            self.runtime.threshold,
-            num_valid=counts,
-        )
-        return JobOutput(results, probs, format_report(results))
+        with timer.stage("decide"):
+            results = decide_batch(
+                probs,
+                job.texts,
+                job.labels,
+                job.same_labels,
+                job.classification_type,
+                self.runtime.threshold,
+                num_valid=counts,
+            )
+        return JobOutput(results, probs, format_report(results), timer.to_dict())

@@ -67,10 +67,13 @@ def main() -> None:
         prompt_first=True,
         backbone=deberta_v3_config("base"),
     )
-    log("initializing params (bf16)...")
-    params = init_gliclass_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-    log("quantizing to INT8...")
-    qparams = quantize_tree(jax.tree.map(np.asarray, params))
+    log("initializing params (bf16, on host)...")
+    # Init + quantize on host CPU: avoids shipping ~370MB of random weights
+    # device->host through the tunnel just to quantize them.
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_gliclass_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        log("quantizing to INT8...")
+        qparams = quantize_tree(jax.tree.map(np.asarray, params))
     del params
 
     runtime = RuntimeConfig(

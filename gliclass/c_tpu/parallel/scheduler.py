@@ -89,20 +89,41 @@ def run_planned(
     Returns probs [num_requests, max_label_count] (f32); slots beyond each
     request's label count are 0.
     """
+    import jax.numpy as jnp
+
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
     in_flight: list[tuple[PlannedBatch, Any, int]] = []
 
     # Dispatch everything first: XLA queues the steps back-to-back on device,
     # and per-batch outputs are tiny ([batch, labels] probabilities), so there
-    # is no memory reason to throttle. Draining afterwards overlaps each
-    # device->host transfer with the remaining device compute.
+    # is no memory reason to throttle.
     for pb in planned:
         dev, n = engine.run_async(pb.batch, pb.max_labels)
         in_flight.append((pb, dev, n))
-    for pb, dev, n in in_flight:
-        probs = np.asarray(dev)[:n]
-        width = min(pb.max_labels, max_label_count)
-        out[np.asarray(pb.indices), :width] = probs[:, :width]
+
+    if len(in_flight) > 1:
+        # One device-side concat + a single host transfer instead of one
+        # round-trip per batch (host<->device latency is the per-step tax).
+        # Width-padding is semantics-free: padded label slots are probability
+        # exactly 0 by the head's hard mask.
+        wmax = max(dev.shape[1] for _, dev, _ in in_flight)
+        padded = [
+            dev if dev.shape[1] == wmax else jnp.pad(dev, ((0, 0), (0, wmax - dev.shape[1])))
+            for _, dev, _ in in_flight
+        ]
+        flat = np.asarray(jnp.concatenate(padded, axis=0))
+        row = 0
+        for pb, dev, n in in_flight:
+            rows = dev.shape[0]
+            probs = flat[row : row + n]
+            row += rows
+            width = min(pb.max_labels, max_label_count)
+            out[np.asarray(pb.indices), :width] = probs[:, :width]
+    else:
+        for pb, dev, n in in_flight:
+            probs = np.asarray(dev)[:n]
+            width = min(pb.max_labels, max_label_count)
+            out[np.asarray(pb.indices), :width] = probs[:, :width]
     return out
 
 

@@ -139,6 +139,7 @@ class GLiClassConfig:
     normalize_features: bool = False
     extract_text_features: bool = False
     squeeze_layers: bool = False
+    use_lstm: bool = False
     class_token_index: int = -1  # token id of <<LABEL>> (set by converter)
     text_token_index: int = -1  # token id of <<SEP>>  (set by converter)
     max_num_classes: int = 25

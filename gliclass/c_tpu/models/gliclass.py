@@ -60,6 +60,12 @@ def gliclass_forward(
             "(the exporter enforces uni-encoder too; reference "
             "ONNX_CONVERTING/convert_to_onnx.py:48-52)"
         )
+    # Fail loudly on checkpoint features this engine does not implement yet —
+    # silently ignoring them would produce wrong logits.
+    if cfg.squeeze_layers:
+        raise NotImplementedError("squeeze_layers (LayersFuser) is not supported")
+    if cfg.use_lstm:
+        raise NotImplementedError("use_lstm (LstmSeq2SeqEncoder) is not supported")
     hidden = encode_backbone(
         params["backbone"], input_ids, attention_mask, cfg, compute_dtype
     )

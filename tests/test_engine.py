@@ -1,0 +1,109 @@
+"""InferenceEngine-level tests: dtype modes, unsupported-config errors,
+longer sequences exercising log-bucketed relative positions, bf16 sanity."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gliclass.c_tpu.config import BackboneConfig, GLiClassConfig, RuntimeConfig
+from gliclass.c_tpu.engine import InferenceEngine
+from gliclass.c_tpu.models.gliclass import gliclass_forward, init_gliclass_params
+from gliclass.c_tpu.tokenization import TokenizedBatch
+
+
+def tiny_cfg(**over):
+    bb = BackboneConfig(
+        model_type="deberta-v2", vocab_size=200, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=128, position_buckets=16,
+        norm_rel_ebd="layer_norm", share_att_key=True, position_biased_input=False,
+    )
+    kw = dict(hidden_size=32, class_token_index=7, backbone=bb)
+    kw.update(over)
+    return GLiClassConfig(**kw)
+
+
+def make_batch(n=4, s=24, L=3, class_token=7, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(10, 190, size=(n, s)).astype(np.int32)
+    for k in range(L):
+        ids[:, 1 + 2 * k] = class_token
+    mask = np.ones((n, s), dtype=np.int32)
+    return TokenizedBatch(ids, mask, np.full(n, s, dtype=np.int32))
+
+
+def test_bf16_mode_close_to_fp32():
+    cfg = tiny_cfg()
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    batch = make_batch()
+    e32 = InferenceEngine(cfg, params, RuntimeConfig(compute_dtype="float32"))
+    e16 = InferenceEngine(cfg, params, RuntimeConfig(compute_dtype="bfloat16"))
+    p32 = e32.run(batch, max_labels=4)
+    p16 = e16.run(batch, max_labels=4)
+    assert np.isfinite(p16).all()
+    np.testing.assert_allclose(p16, p32, atol=0.05)
+
+
+def test_unsupported_features_raise():
+    params = init_gliclass_params(jax.random.key(0), tiny_cfg())
+    ids = jnp.ones((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    with pytest.raises(NotImplementedError, match="squeeze_layers"):
+        gliclass_forward(params, ids, mask, tiny_cfg(squeeze_layers=True), 4)
+    with pytest.raises(NotImplementedError, match="use_lstm"):
+        gliclass_forward(params, ids, mask, tiny_cfg(use_lstm=True), 4)
+    with pytest.raises(ValueError, match="architecture_type"):
+        gliclass_forward(params, ids, mask, tiny_cfg(architecture_type="bi-encoder"), 4)
+
+
+def test_long_sequence_log_bucket_parity():
+    """S well beyond the linear bucket window (log region) vs torch."""
+    import torch
+
+    from gliclass.c_tpu.convert.hf_backbones import (
+        backbone_config_from_hf,
+        convert_deberta_state_dict,
+    )
+    from gliclass.c_tpu.models.deberta import deberta_encode
+    from transformers import DebertaV2Config, DebertaV2Model
+
+    torch.manual_seed(0)
+    hf_cfg = DebertaV2Config(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=128, relative_attention=True,
+        position_buckets=16, norm_rel_ebd="layer_norm", share_att_key=True,
+        pos_att_type=["p2c", "c2p"], position_biased_input=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-7, type_vocab_size=0,
+    )
+    model = DebertaV2Model(hf_cfg).eval()
+    rng = np.random.default_rng(5)
+    S = 96  # mid = 8, so most relative offsets are in the log region
+    ids = rng.integers(1, 120, size=(1, S)).astype(np.int32)
+    mask = np.ones((1, S), dtype=np.int32)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    cfg = backbone_config_from_hf(hf_cfg)
+    params = jax.tree.map(jnp.asarray, convert_deberta_state_dict(model.state_dict(), cfg))
+    out = np.asarray(
+        deberta_encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    )
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-4)
+
+
+def test_step_cache_reuse():
+    cfg = tiny_cfg()
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    engine = InferenceEngine(cfg, params, RuntimeConfig(compute_dtype="float32"))
+    engine.run(make_batch(s=24), max_labels=4)
+    engine.run(make_batch(s=24, seed=1), max_labels=4)
+    assert len(engine._steps) == 1  # same (S, L) bucket -> one executable
+    engine.run(make_batch(s=32), max_labels=4)
+    assert len(engine._steps) == 2

@@ -61,6 +61,14 @@ def convert_deberta_state_dict(sd: Mapping[str, Any], cfg: BackboneConfig) -> Pa
         if cfg.norm_rel_ebd == "layer_norm":
             params["rel_ln"] = _ln(sd, "encoder.LayerNorm")
 
+    if cfg.conv_kernel_size > 0:
+        # torch Conv1d weight is [out, in, k]; our conv stem wants WIO [k, in, out].
+        params["conv"] = {
+            "w": np.transpose(_t(sd, "encoder.conv.conv.weight"), (2, 1, 0)).copy(),
+            "b": _t(sd, "encoder.conv.conv.bias"),
+            "ln": _ln(sd, "encoder.conv.LayerNorm"),
+        }
+
     layers = []
     for i in range(cfg.num_hidden_layers):
         pre = f"encoder.layer.{i}"
@@ -160,4 +168,5 @@ def backbone_config_from_hf(hf_cfg) -> BackboneConfig:
         norm_rel_ebd=getattr(hf_cfg, "norm_rel_ebd", "none"),
         position_biased_input=getattr(hf_cfg, "position_biased_input", True),
         conv_kernel_size=getattr(hf_cfg, "conv_kernel_size", 0) or 0,
+        conv_act=getattr(hf_cfg, "conv_act", "tanh") or "tanh",
     )

@@ -150,6 +150,8 @@ def _build_torch_backbone(cfg: GLiClassConfig):
                 hidden_dropout_prob=0.0,
                 attention_probs_dropout_prob=0.0,
                 type_vocab_size=0,
+                conv_kernel_size=bb.conv_kernel_size,
+                conv_act=bb.conv_act,
             )
         )
     if bb.model_type == "llama":

@@ -246,6 +246,42 @@ def encoder_layer(
     return layer_norm(p["ffn"]["ln"], h + x, cfg.layer_norm_eps)
 
 
+def conv_layer(
+    p: Params,
+    embed_out: jax.Array,
+    layer0_out: jax.Array,
+    attention_mask: jax.Array,
+    cfg: BackboneConfig,
+    compute_dtype,
+) -> jax.Array:
+    """DeBERTa-v2 conv stem (conv_kernel_size > 0; deberta-v2-xlarge family).
+
+    Semantics match transformers' ``ConvLayer`` applied after encoder layer 0:
+    same-padded 1-D conv over the *embedding* output, zero padded positions,
+    activation, residual-add onto layer 0's output, LayerNorm, re-mask. In the
+    reference this runs opaquely inside the ONNX graph (src/model.c:173-182);
+    here it is explicit and parity-tested vs transformers.
+    """
+    k = cfg.conv_kernel_size
+    if k % 2 == 0:
+        raise ValueError("conv_kernel_size must be odd (torch same-padding)")
+    pad = (k - 1) // 2
+    x = embed_out.astype(compute_dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(compute_dtype),  # [k, H_in, H_out]
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + p["b"].astype(jnp.float32)
+    m = attention_mask[..., None].astype(jnp.float32)
+    out = activation(cfg.conv_act)(out * m).astype(compute_dtype)
+    y = layer_norm(p["ln"], layer0_out + out, cfg.layer_norm_eps)
+    return y * m.astype(y.dtype)
+
+
 def embed(p: Params, input_ids: jax.Array, attention_mask: jax.Array,
           cfg: BackboneConfig, compute_dtype) -> jax.Array:
     """Word embeddings -> (optional proj) -> LayerNorm -> zero padded positions."""
@@ -292,11 +328,6 @@ def deberta_encode(
         rel_emb = jnp.zeros((2 * att_span, cfg.hidden_size), compute_dtype)
 
     layers = params["layers"]
-    if cfg.conv_kernel_size > 0:
-        raise NotImplementedError(
-            "conv_kernel_size > 0 (deberta-v2 xlarge conv stem) is not used by "
-            "any GLiClass checkpoint and is not supported"
-        )
 
     def body(x, layer_params):
         y = encoder_layer(
@@ -305,7 +336,17 @@ def deberta_encode(
         )
         return y, None
 
-    x, _ = jax.lax.scan(body, x, layers)
+    if cfg.conv_kernel_size > 0:
+        # Conv stem applies after layer 0 (transformers DebertaV2Encoder:
+        # `if i == 0 and self.conv is not None`), so layer 0 runs unstacked
+        # and the scan covers layers 1..L-1.
+        layer0 = jax.tree.map(lambda a: a[0], layers)
+        rest = jax.tree.map(lambda a: a[1:], layers)
+        y0, _ = body(x, layer0)
+        x = conv_layer(params["conv"], x, y0, attention_mask, cfg, compute_dtype)
+        x, _ = jax.lax.scan(body, x, rest)
+    else:
+        x, _ = jax.lax.scan(body, x, layers)
     return x
 
 
@@ -366,4 +407,12 @@ def init_deberta_params(key, cfg: BackboneConfig, dtype=jnp.float32) -> Params:
         )
         if cfg.norm_rel_ebd == "layer_norm":
             params["rel_ln"] = _ln(H, dtype)
+    if cfg.conv_kernel_size > 0:
+        params["conv"] = {
+            "w": jax.random.normal(
+                keys[3], (cfg.conv_kernel_size, H, H), dtype
+            ) * 0.02,
+            "b": jnp.zeros((H,), dtype),
+            "ln": _ln(H, dtype),
+        }
     return params

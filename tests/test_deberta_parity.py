@@ -77,6 +77,8 @@ def run_both(model, hf_cfg, ids, mask):
         {"position_buckets": -1, "norm_rel_ebd": "none"},  # plain rel attention
         {"relative_attention": False},  # vanilla BERT-style attention
         {"pos_att_type": ["c2p"]},
+        {"conv_kernel_size": 3},  # deberta-v2-xlarge conv stem (tanh)
+        {"conv_kernel_size": 3, "conv_act": "gelu", "share_att_key": False},
     ],
 )
 def test_parity_variants(over):

@@ -55,7 +55,34 @@ def convert_head_state_dict(sd: Mapping, cfg: GLiClassConfig) -> Params:
             "mlp_1": _dense(sd, "scorer.mlp_1"),
             "mlp_2": _dense(sd, "scorer.mlp_2"),
         }
+    elif cfg.scorer_type == "weighted-dot":
+        head["scorer"] = {
+            "proj_text": _dense(sd, "scorer.proj_text"),
+            "proj_label": _dense(sd, "scorer.proj_label"),
+            "mlp_1": _dense(sd, "scorer.mlp_1"),
+            "mlp_2": _dense(sd, "scorer.mlp_2"),
+        }
     return head
+
+
+def convert_lstm_state_dict(sd: Mapping, prefix: str = "lstm") -> Params:
+    """torch nn.LSTM (1 layer, bidirectional) -> heads.bilstm param tree.
+
+    torch stores weight_ih_l0 [4h, H] / weight_hh_l0 [4h, h] with gate order
+    (i, f, g, o); our scan wants them transposed and the two biases summed.
+    """
+
+    def direction(suffix: str) -> Params:
+        return {
+            "w_ih": _t(sd, f"{prefix}.weight_ih_l0{suffix}").T.copy(),
+            "w_hh": _t(sd, f"{prefix}.weight_hh_l0{suffix}").T.copy(),
+            "b": (
+                _t(sd, f"{prefix}.bias_ih_l0{suffix}")
+                + _t(sd, f"{prefix}.bias_hh_l0{suffix}")
+            ),
+        }
+
+    return {"fwd": direction(""), "bwd": direction("_reverse")}
 
 
 def convert_gliclass_state_dict(sd: Mapping, cfg: GLiClassConfig) -> Params:
@@ -78,7 +105,12 @@ def convert_gliclass_state_dict(sd: Mapping, cfg: GLiClassConfig) -> Params:
         backbone = convert_llama_state_dict(bb_sd, bb)
     else:
         raise ValueError(f"unsupported backbone: {bb.model_type!r}")
-    return {"backbone": backbone, "head": convert_head_state_dict(sd, cfg)}
+    params = {"backbone": backbone, "head": convert_head_state_dict(sd, cfg)}
+    if cfg.use_lstm:
+        params["lstm"] = convert_lstm_state_dict(sd)
+    if cfg.squeeze_layers:
+        params["layers_fuser"] = {"weights": _t(sd, "layer_weights")}
+    return params
 
 
 def export_bundle(

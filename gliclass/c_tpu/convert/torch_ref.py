@@ -65,6 +65,27 @@ def build_torch_gliclass(cfg: GLiClassConfig, seed: int = 0):
             feats = torch.cat([label_rep, t, label_rep * t], dim=-1)
             return self.mlp_2(torch.relu(self.mlp_1(feats))).squeeze(-1)
 
+    class WeightedDotScorer(nn.Module):
+        """ScorerWeightedDot reconstruction (GLiNER-family scorer used by the
+        gliclass package): 2H projections split in halves, MLP over
+        [text_h0; label_h0; text_h1 * label_h1]."""
+
+        def __init__(self):
+            super().__init__()
+            self.proj_text = nn.Linear(H, 2 * H)
+            self.proj_label = nn.Linear(H, 2 * H)
+            self.mlp_1 = nn.Linear(3 * H, H)
+            self.mlp_2 = nn.Linear(H, 1)
+
+        def forward(self, text_rep, label_rep):
+            B, L, _ = label_rep.shape
+            t2 = self.proj_text(text_rep).unsqueeze(1).expand(B, L, 2 * H)
+            l2 = self.proj_label(label_rep)
+            feats = torch.cat(
+                [t2[..., :H], l2[..., :H], t2[..., H:] * l2[..., H:]], dim=-1
+            )
+            return self.mlp_2(torch.relu(self.mlp_1(feats))).squeeze(-1)
+
     class GLiClassUniEncoder(nn.Module):
         def __init__(self):
             super().__init__()
@@ -73,11 +94,45 @@ def build_torch_gliclass(cfg: GLiClassConfig, seed: int = 0):
             self.classes_projector = FeaturesProjector()
             if cfg.scorer_type == "mlp":
                 self.scorer = MLPScorer()
+            elif cfg.scorer_type == "weighted-dot":
+                self.scorer = WeightedDotScorer()
+            if cfg.use_lstm:
+                # LstmSeq2SeqEncoder reconstruction: 1-layer BiLSTM H -> H.
+                self.lstm = nn.LSTM(
+                    H, H // 2, num_layers=1, bidirectional=True, batch_first=True
+                )
+            if cfg.squeeze_layers:
+                # LayersFuser reconstruction: softmax-weighted state mix.
+                self.layer_weights = nn.Parameter(
+                    torch.randn(cfg.backbone.num_hidden_layers + 1)
+                )
 
         def forward(self, input_ids, attention_mask, max_labels: int):
-            hidden = self.encoder_model(
-                input_ids=input_ids, attention_mask=attention_mask
-            ).last_hidden_state  # [B,S,H]
+            enc = self.encoder_model(
+                input_ids=input_ids,
+                attention_mask=attention_mask,
+                output_hidden_states=cfg.squeeze_layers,
+            )
+            if cfg.squeeze_layers:
+                states = torch.stack(enc.hidden_states)  # [L+1,B,S,H]
+                w = torch.softmax(self.layer_weights, dim=0)
+                hidden = torch.einsum("n,nbsh->bsh", w, states)
+            else:
+                hidden = enc.last_hidden_state  # [B,S,H]
+            if cfg.use_lstm:
+                from torch.nn.utils.rnn import (
+                    pack_padded_sequence,
+                    pad_packed_sequence,
+                )
+
+                lengths = attention_mask.sum(dim=1).cpu()
+                packed = pack_padded_sequence(
+                    hidden, lengths, batch_first=True, enforce_sorted=False
+                )
+                out, _ = self.lstm(packed)
+                hidden, _ = pad_packed_sequence(
+                    out, batch_first=True, total_length=hidden.shape[1]
+                )
             B, S, _ = hidden.shape
 
             is_label = input_ids == cfg.class_token_index
@@ -112,7 +167,7 @@ def build_torch_gliclass(cfg: GLiClassConfig, seed: int = 0):
 
             if cfg.scorer_type == "simple":
                 logits = torch.einsum("bh,blh->bl", text_rep, label_emb)
-            elif cfg.scorer_type == "mlp":
+            elif cfg.scorer_type in ("mlp", "weighted-dot"):
                 logits = self.scorer(text_rep, label_emb)
             else:
                 raise ValueError(cfg.scorer_type)

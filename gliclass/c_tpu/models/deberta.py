@@ -301,8 +301,15 @@ def deberta_encode(
     attention_mask: jax.Array,
     cfg: BackboneConfig,
     compute_dtype=jnp.float32,
+    return_all_layers: bool = False,
 ) -> jax.Array:
-    """Full encoder forward: [B, S] ids + mask -> [B, S, H] hidden states."""
+    """Full encoder forward: [B, S] ids + mask -> [B, S, H] hidden states.
+
+    With ``return_all_layers`` returns stacked states [L+1, B, S, H] matching
+    transformers' ``output_hidden_states`` order (embedding output first, then
+    each layer's output, conv-merged at layer 0) — consumed by the
+    ``squeeze_layers`` LayersFuser.
+    """
     B, S = input_ids.shape
     x = embed(params["embeddings"], input_ids, attention_mask, cfg, compute_dtype)
 
@@ -334,8 +341,9 @@ def deberta_encode(
             layer_params, x, rel_emb, pair_mask, c2p_cols, p2c_cols, cfg,
             compute_dtype, attention_mask
         )
-        return y, None
+        return y, (y if return_all_layers else None)
 
+    embed_out = x
     if cfg.conv_kernel_size > 0:
         # Conv stem applies after layer 0 (transformers DebertaV2Encoder:
         # `if i == 0 and self.conv is not None`), so layer 0 runs unstacked
@@ -343,10 +351,14 @@ def deberta_encode(
         layer0 = jax.tree.map(lambda a: a[0], layers)
         rest = jax.tree.map(lambda a: a[1:], layers)
         y0, _ = body(x, layer0)
-        x = conv_layer(params["conv"], x, y0, attention_mask, cfg, compute_dtype)
-        x, _ = jax.lax.scan(body, x, rest)
+        x0 = conv_layer(params["conv"], x, y0, attention_mask, cfg, compute_dtype)
+        x, ys = jax.lax.scan(body, x0, rest)
+        if return_all_layers:
+            return jnp.concatenate([jnp.stack([embed_out, x0]), ys], axis=0)
     else:
-        x, _ = jax.lax.scan(body, x, layers)
+        x, ys = jax.lax.scan(body, x, layers)
+        if return_all_layers:
+            return jnp.concatenate([embed_out[None], ys], axis=0)
     return x
 
 

@@ -31,14 +31,21 @@ def encode_backbone(
     attention_mask: jax.Array,
     cfg: GLiClassConfig,
     compute_dtype,
+    return_all_layers: bool = False,
 ) -> jax.Array:
     bb = cfg.backbone
     if bb.model_type == "deberta-v2":
-        return deberta_encode(params, input_ids, attention_mask, bb, compute_dtype)
+        return deberta_encode(
+            params, input_ids, attention_mask, bb, compute_dtype,
+            return_all_layers=return_all_layers,
+        )
     if bb.model_type in ("llama", "qwen2"):
         from .llama import llama_encode
 
-        return llama_encode(params, input_ids, attention_mask, bb, compute_dtype)
+        return llama_encode(
+            params, input_ids, attention_mask, bb, compute_dtype,
+            return_all_layers=return_all_layers,
+        )
     raise ValueError(f"unsupported backbone model_type: {bb.model_type!r}")
 
 
@@ -60,15 +67,31 @@ def gliclass_forward(
             "(the exporter enforces uni-encoder too; reference "
             "ONNX_CONVERTING/convert_to_onnx.py:48-52)"
         )
-    # Fail loudly on checkpoint features this engine does not implement yet —
+    # Fail loudly on checkpoint features this engine does not implement —
     # silently ignoring them would produce wrong logits.
+    if cfg.extract_text_features:
+        raise NotImplementedError(
+            "extract_text_features is not supported (no published uni-encoder "
+            "checkpoint sets it)"
+        )
     if cfg.squeeze_layers:
-        raise NotImplementedError("squeeze_layers (LayersFuser) is not supported")
+        # LayersFuser: softmax-weighted mix of all encoder states.
+        from .heads import fuse_layers
+
+        states = encode_backbone(
+            params["backbone"], input_ids, attention_mask, cfg, compute_dtype,
+            return_all_layers=True,
+        )
+        hidden = fuse_layers(params["layers_fuser"], states)
+    else:
+        hidden = encode_backbone(
+            params["backbone"], input_ids, attention_mask, cfg, compute_dtype
+        )
     if cfg.use_lstm:
-        raise NotImplementedError("use_lstm (LstmSeq2SeqEncoder) is not supported")
-    hidden = encode_backbone(
-        params["backbone"], input_ids, attention_mask, cfg, compute_dtype
-    )
+        # LstmSeq2SeqEncoder: BiLSTM refinement of the encoder states.
+        from .heads import bilstm
+
+        hidden = bilstm(params["lstm"], hidden, attention_mask)
     logits, _ = gliclass_head(
         params["head"], hidden, input_ids, attention_mask, cfg, max_labels,
         compute_dtype,
@@ -103,4 +126,15 @@ def init_gliclass_params(key, cfg: GLiClassConfig, dtype=jnp.float32) -> Params:
         backbone = init_llama_params(kb, bb, dtype)
     else:
         raise ValueError(f"unsupported backbone model_type: {bb.model_type!r}")
-    return {"backbone": backbone, "head": init_head_params(kh, cfg, dtype)}
+    params = {"backbone": backbone, "head": init_head_params(kh, cfg, dtype)}
+    if cfg.use_lstm:
+        from .heads import init_lstm_params
+
+        params["lstm"] = init_lstm_params(
+            jax.random.fold_in(kh, 1), cfg.hidden_size, dtype
+        )
+    if cfg.squeeze_layers:
+        params["layers_fuser"] = {
+            "weights": jnp.zeros((cfg.backbone.num_hidden_layers + 1,), dtype)
+        }
+    return params

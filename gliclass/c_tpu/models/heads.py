@@ -102,6 +102,96 @@ def score_mlp(p: Params, text_rep: jax.Array, label_rep: jax.Array,
     return linear(p["mlp_2"], h, compute_dtype)[..., 0].astype(jnp.float32)
 
 
+def score_weighted_dot(
+    p: Params, text_rep: jax.Array, label_rep: jax.Array, compute_dtype
+) -> jax.Array:
+    """ScorerWeightedDot: project text/label reps to 2H, split in halves, score
+    an MLP over [text_h0; label_h0; text_h1 * label_h1].
+
+    Semantics reconstructed from the HF ``gliclass`` package's GLiNER-family
+    scorer (the package is the upstream of every reference export; reference
+    ONNX_CONVERTING/convert_to_onnx.py:48-62). No published v1.0 checkpoint uses
+    this scorer; parity is gated against the independent torch reconstruction
+    in convert/torch_ref.py.
+    """
+    B, L, H = label_rep.shape
+    t2 = linear(p["proj_text"], text_rep, compute_dtype)  # [B, 2H]
+    l2 = linear(p["proj_label"], label_rep, compute_dtype)  # [B, L, 2H]
+    t2 = jnp.broadcast_to(t2[:, None, :], (B, L, 2 * H))
+    feats = jnp.concatenate(
+        [t2[..., :H], l2[..., :H], t2[..., H:] * l2[..., H:]], axis=-1
+    )
+    h = jax.nn.relu(linear(p["mlp_1"], feats, compute_dtype))
+    return linear(p["mlp_2"], h, compute_dtype)[..., 0].astype(jnp.float32)
+
+
+def fuse_layers(p: Params, states: jax.Array) -> jax.Array:
+    """LayersFuser (``squeeze_layers``): softmax-weighted sum over all encoder
+    states [N, B, S, H] (embedding output + each layer) -> [B, S, H].
+
+    Reconstructed semantics (see :func:`score_weighted_dot` note); cross-parity
+    tested against the torch reconstruction.
+    """
+    w = jax.nn.softmax(p["weights"].astype(jnp.float32))
+    out = jnp.einsum(
+        "n,nbsh->bsh", w, states.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(states.dtype)
+
+
+def _lstm_scan(p: Params, x: jax.Array, mask: jax.Array) -> jax.Array:
+    """One LSTM direction with pack_padded semantics over right-padded input:
+    states freeze and outputs are 0 at masked steps. x [B,S,H], mask [B,S] bool
+    -> [B,S,h]. torch gate order (i, f, g, o); b = b_ih + b_hh.
+    """
+    B, S, H = x.shape
+    h_dim = p["w_hh"].shape[0]
+    # Input contribution for all steps at once: one [B,S,4h] matmul on the MXU.
+    xg = (
+        jnp.einsum("bsh,hg->bsg", x, p["w_ih"], preferred_element_type=jnp.float32)
+        + p["b"].astype(jnp.float32)
+    )
+
+    def step(carry, inp):
+        h, c = carry
+        g_x, m = inp  # [B,4h] f32, [B] bool
+        z = g_x + jnp.dot(h, p["w_hh"], preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = m[:, None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), jnp.where(m, h, 0.0)
+
+    init = (
+        jnp.zeros((B, h_dim), jnp.float32),
+        jnp.zeros((B, h_dim), jnp.float32),
+    )
+    _, ys = jax.lax.scan(
+        step, init, (jnp.moveaxis(xg, 1, 0), jnp.moveaxis(mask, 1, 0))
+    )
+    return jnp.moveaxis(ys, 0, 1)
+
+
+def bilstm(p: Params, x: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    """Bidirectional LSTM over encoder states (``use_lstm``): H -> H (two H/2
+    directions), matching torch nn.LSTM(bidirectional, batch_first) applied via
+    pack_padded_sequence. The backward pass runs the masked scan on the flipped
+    padded sequence: leading (flipped) pad steps carry the zero initial state,
+    which is exactly "start at the last valid token".
+    """
+    mask = attention_mask.astype(bool)
+    xf = x.astype(jnp.float32)
+    y_f = _lstm_scan(p["fwd"], xf, mask)
+    y_b = jnp.flip(
+        _lstm_scan(p["bwd"], jnp.flip(xf, axis=1), jnp.flip(mask, axis=1)),
+        axis=1,
+    )
+    return jnp.concatenate([y_f, y_b], axis=-1).astype(x.dtype)
+
+
 def gliclass_head(
     params: Params,
     hidden: jax.Array,
@@ -139,6 +229,10 @@ def gliclass_head(
         logits = score_simple(text_rep, label_emb)
     elif cfg.scorer_type == "mlp":
         logits = score_mlp(params["scorer"], text_rep, label_emb, compute_dtype)
+    elif cfg.scorer_type == "weighted-dot":
+        logits = score_weighted_dot(
+            params["scorer"], text_rep, label_emb, compute_dtype
+        )
     else:
         raise ValueError(f"unsupported scorer_type: {cfg.scorer_type!r}")
 
@@ -174,4 +268,28 @@ def init_head_params(key, cfg: GLiClassConfig, dtype=jnp.float32) -> Params:
             "mlp_1": _dense(ks[4], 3 * H, H, dtype),
             "mlp_2": _dense(ks[5], H, 1, dtype),
         }
+    elif cfg.scorer_type == "weighted-dot":
+        kws = jax.random.split(ks[4], 4)
+        params["scorer"] = {
+            "proj_text": _dense(kws[0], H, 2 * H, dtype),
+            "proj_label": _dense(kws[1], H, 2 * H, dtype),
+            "mlp_1": _dense(kws[2], 3 * H, H, dtype),
+            "mlp_2": _dense(kws[3], H, 1, dtype),
+        }
     return params
+
+
+def init_lstm_params(key, hidden_size: int, dtype=jnp.float32) -> Params:
+    """Random-init BiLSTM params (H -> two H/2 directions), torch layout
+    pre-transposed: w_ih [H, 4h], w_hh [h, 4h], b [4h]."""
+    h = hidden_size // 2
+    ks = jax.random.split(key, 4)
+
+    def direction(k1, k2):
+        return {
+            "w_ih": jax.random.normal(k1, (hidden_size, 4 * h), dtype) * 0.02,
+            "w_hh": jax.random.normal(k2, (h, 4 * h), dtype) * 0.02,
+            "b": jnp.zeros((4 * h,), dtype),
+        }
+
+    return {"fwd": direction(ks[0], ks[1]), "bwd": direction(ks[2], ks[3])}

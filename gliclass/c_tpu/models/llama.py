@@ -104,8 +104,15 @@ def llama_encode(
     attention_mask: jax.Array,
     cfg: BackboneConfig,
     compute_dtype=jnp.float32,
+    return_all_layers: bool = False,
 ) -> jax.Array:
-    """[B,S] -> [B,S,H] hidden states (post final norm)."""
+    """[B,S] -> [B,S,H] hidden states (post final norm).
+
+    With ``return_all_layers`` returns stacked states [L+1, B, S, H] matching
+    transformers' ``output_hidden_states`` order: embedding output, each
+    layer's input state, and the post-final-norm output last (the raw last
+    layer output never appears — same as LlamaModel/Qwen2Model).
+    """
     B, S = input_ids.shape
     x = jnp.take(params["embeddings"]["word"], input_ids, axis=0).astype(compute_dtype)
 
@@ -120,13 +127,17 @@ def llama_encode(
 
     def body(h, p):
         a = rms_norm(p["attn_norm"], h, cfg.rms_norm_eps)
-        h = h + llama_attention(p["attn"], a, mask_bias, cos, sin, cfg, compute_dtype)
-        m = rms_norm(p["mlp_norm"], h, cfg.rms_norm_eps)
-        h = h + llama_mlp(p["mlp"], m, compute_dtype)
-        return h, None
+        h2 = h + llama_attention(p["attn"], a, mask_bias, cos, sin, cfg, compute_dtype)
+        m = rms_norm(p["mlp_norm"], h2, cfg.rms_norm_eps)
+        h2 = h2 + llama_mlp(p["mlp"], m, compute_dtype)
+        # carry out; emit the layer INPUT (transformers records pre-layer states)
+        return h2, (h if return_all_layers else None)
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
-    return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+    out, ys = jax.lax.scan(body, x, params["layers"])
+    final = rms_norm(params["final_norm"], out, cfg.rms_norm_eps)
+    if return_all_layers:
+        return jnp.concatenate([ys, final[None]], axis=0)
+    return final
 
 
 # ---------------------------------------------------------------------------

@@ -52,12 +52,25 @@ def test_unsupported_features_raise():
     params = init_gliclass_params(jax.random.key(0), tiny_cfg())
     ids = jnp.ones((1, 8), jnp.int32)
     mask = jnp.ones((1, 8), jnp.int32)
-    with pytest.raises(NotImplementedError, match="squeeze_layers"):
-        gliclass_forward(params, ids, mask, tiny_cfg(squeeze_layers=True), 4)
-    with pytest.raises(NotImplementedError, match="use_lstm"):
-        gliclass_forward(params, ids, mask, tiny_cfg(use_lstm=True), 4)
+    with pytest.raises(NotImplementedError, match="extract_text_features"):
+        gliclass_forward(
+            params, ids, mask, tiny_cfg(extract_text_features=True), 4
+        )
     with pytest.raises(ValueError, match="architecture_type"):
         gliclass_forward(params, ids, mask, tiny_cfg(architecture_type="bi-encoder"), 4)
+
+
+def test_lstm_and_squeeze_layers_forward():
+    """use_lstm / squeeze_layers are supported end-to-end (random init)."""
+    cfg = tiny_cfg(use_lstm=True, squeeze_layers=True)
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    batch = make_batch()
+    out = gliclass_forward(
+        params, jnp.asarray(batch.input_ids), jnp.asarray(batch.attention_mask),
+        cfg, 4,
+    )
+    assert out.shape == (4, 4)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_long_sequence_log_bucket_parity():

@@ -81,8 +81,12 @@ def _torch_logits(model, batch, max_labels):
         {"pooling_strategy": "mean"},
         {"pooling_strategy": "max"},
         {"scorer_type": "mlp"},
+        {"scorer_type": "weighted-dot"},
         {"normalize_features": True},
         {"prompt_first": False},
+        {"use_lstm": True},  # BiLSTM vs torch nn.LSTM + pack_padded
+        {"squeeze_layers": True},  # LayersFuser vs torch output_hidden_states mix
+        {"use_lstm": True, "squeeze_layers": True, "scorer_type": "weighted-dot"},
     ],
 )
 def test_full_model_parity(tiny_tokenizer_file, head_over):

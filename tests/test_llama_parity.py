@@ -95,7 +95,16 @@ def test_mqa_and_no_gqa_variants():
         np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-4)
 
 
-def test_gliclass_with_llama_backbone(tiny_tokenizer_file):
+@pytest.mark.parametrize(
+    "head_over",
+    [
+        {},
+        # decoder-backbone hidden-states order differs (post-final-norm last):
+        # exercise the LayersFuser + BiLSTM over it.
+        {"use_lstm": True, "squeeze_layers": True},
+    ],
+)
+def test_gliclass_with_llama_backbone(tiny_tokenizer_file, head_over):
     """Full GLiClass model over a decoder backbone: torch ref vs JAX."""
     import torch
 
@@ -124,6 +133,7 @@ def test_gliclass_with_llama_backbone(tiny_tokenizer_file):
         text_token_index=tok.sep_token_id,
         prompt_first=False,  # decoder models put the prompt last
         backbone=bb,
+        **head_over,
     )
     model = build_torch_gliclass(cfg)
     prompts = pack_prompts(

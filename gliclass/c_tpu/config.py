@@ -36,8 +36,10 @@ class RuntimeConfig:
     threshold: float = DEFAULT_THRESHOLD
     # XLA wants static shapes: pad each batch up to the nearest of these buckets
     # instead of the reference's pad-to-batch-max (reference src/tokenizer.c:44-54),
-    # which would trigger one recompile per distinct batch max-length.
-    seq_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+    # which would trigger one recompile per distinct batch max-length. Finer
+    # buckets at short lengths cut padding waste where most prompts live; each
+    # bucket costs one (cached) compile.
+    seq_buckets: tuple[int, ...] = (64, 96, 128, 192, 256, 384, 512, 1024, 2048)
     # Bucketing for the number of candidate labels per text (scoring-head width).
     label_buckets: tuple[int, ...] = (4, 8, 16, 32, 64)
     # "float32" for parity testing, "bfloat16" for TPU serving.
@@ -49,6 +51,20 @@ class RuntimeConfig:
     tp_size: int = 1
     # Tokenization host-parallelism.
     tokenizer_workers: int = 8
+    # Overlap tokenization with device execution ("auto" enables it when the
+    # host has enough cores that tokenizer threads don't starve the dispatch
+    # thread; measured on a 2-CPU host the overlap INVERTS into GIL contention
+    # and costs ~15%, while the barrier plan keeps the device saturated).
+    overlap_tokenize: str = "auto"  # auto | on | off
+
+    def overlap_enabled(self) -> bool:
+        if self.overlap_tokenize == "on":
+            return True
+        if self.overlap_tokenize == "off":
+            return False
+        import os
+
+        return (os.cpu_count() or 1) >= 4
     # Use the native C++ host ops (prompt packing / batch assembly) when built.
     use_native_host_ops: bool = True
 

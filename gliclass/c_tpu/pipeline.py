@@ -20,7 +20,7 @@ import numpy as np
 from .config import GLiClassConfig, RuntimeConfig
 from .data import ClassificationJob
 from .engine import InferenceEngine
-from .parallel.scheduler import plan_batches, run_planned
+from .parallel.scheduler import plan_and_run_overlapped, plan_batches, run_planned
 from .postprocess import TextResult, decide_batch, format_report
 from .prompting import pack_prompts
 from .tokenization import PromptTokenizer
@@ -87,10 +87,18 @@ class ZeroShotClassificationPipeline:
             len(labels[0]) if same_labels else len(labels[i])
             for i in range(len(texts))
         ]
-        with timer.stage("tokenize_plan"):
-            planned = plan_batches(self.tokenizer, prompts, counts, self.runtime)
-        with timer.stage("device"):
-            probs = run_planned(self.engine, planned, len(texts), max(counts))
+        if self.runtime.overlap_enabled():
+            # Tokenization overlaps device execution (async dispatch).
+            with timer.stage("tokenize_device"):
+                probs = plan_and_run_overlapped(
+                    self.engine, self.tokenizer, prompts, counts, self.runtime,
+                    len(texts), max(counts),
+                )
+        else:
+            with timer.stage("tokenize_plan"):
+                planned = plan_batches(self.tokenizer, prompts, counts, self.runtime)
+            with timer.stage("device"):
+                probs = run_planned(self.engine, planned, len(texts), max(counts))
         timer.add_count("texts", len(texts))
         return probs
 

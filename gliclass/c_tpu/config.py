@@ -67,6 +67,13 @@ class RuntimeConfig:
         return (os.cpu_count() or 1) >= 4
     # Use the native C++ host ops (prompt packing / batch assembly) when built.
     use_native_host_ops: bool = True
+    # Fuse q/k/v projections into one wide matmul at engine load. Math-identical,
+    # and 2x the rate in isolation ([24576x768]x[768x2304] at 79.5 vs 41.4
+    # TFLOP/s for the three [768x768] matmuls on v5e) — but measured ~4% SLOWER
+    # end-to-end (65.0 vs 62.3 ms/step at B=256, S=96, INT8): XLA already
+    # overlaps the three narrow matmuls, and the fused output's q/k/v slices
+    # cost extra HBM copies. Kept as an opt-in for other geometries.
+    fuse_qkv: bool = False
 
     def bucket_for_seq(self, length: int) -> int:
         for b in self.seq_buckets:

@@ -33,6 +33,66 @@ Params = dict[str, Any]
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
 
 
+def _concat_dense(parts: list[Params]) -> Params | None:
+    """Concatenate dense params along the output dim: [K,N1],[K,N2],... ->
+    [K, sum Ni]. Works for fp ({"w","b"}) and INT8 ({"w_q","scale","b"}) leaves,
+    stacked ([L,K,N]) or not; per-output-channel INT8 scales concatenate
+    exactly (each output column's math is untouched). Returns None if the
+    parts are not homogeneous dense params."""
+    wk = "w_q" if "w_q" in parts[0] else "w"
+    if not all(wk in p for p in parts):
+        return None
+    fused: Params = {wk: jnp.concatenate([p[wk] for p in parts], axis=-1)}
+    if wk == "w_q":
+        if not all("scale" in p for p in parts):
+            return None
+        fused["scale"] = jnp.concatenate([p["scale"] for p in parts], axis=-1)
+    if all(p.get("b") is not None for p in parts):
+        fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+    elif any(p.get("b") is not None for p in parts):
+        return None  # mixed bias/no-bias: keep unfused
+    return fused
+
+
+def fuse_qkv_params(params: Params, cfg: GLiClassConfig) -> Params:
+    """Load-time perf transform: merge each attention block's q/k/v dense
+    params into one fused "qkv" param ([H, 3H] weight -> a single wide matmul,
+    ~2x the MXU rate of three narrow ones at serving shapes on v5e).
+
+    Math-identical to the separate projections (disjoint output columns).
+    Applied to the ENGINE's copy only — bundles, the converter and the training
+    tree keep the reference-shaped separate tensors (naming contract of
+    parallel/sharding.py). Skipped when the model needs the separate q/k
+    weights for position projections it could not otherwise recover
+    (relative_attention without share_att_key and without explicit pos_q/pos_k).
+    """
+    bb = cfg.backbone
+    if bb.model_type != "deberta-v2":
+        return params
+
+    def fuse_attn(attn: Params) -> Params:
+        if "qkv" in attn or not all(k in attn for k in ("q", "k", "v")):
+            return attn
+        if bb.relative_attention and not bb.share_att_key and not (
+            "pos_q" in attn and "pos_k" in attn
+        ):
+            return attn
+        fused = _concat_dense([attn["q"], attn["k"], attn["v"]])
+        if fused is None:
+            return attn
+        out = {k: v for k, v in attn.items() if k not in ("q", "k", "v")}
+        out["qkv"] = fused
+        return out
+
+    out = dict(params)
+    backbone = dict(params["backbone"])
+    layers = dict(backbone["layers"])
+    layers["attn"] = fuse_attn(layers["attn"])
+    backbone["layers"] = layers
+    out["backbone"] = backbone
+    return out
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -47,6 +107,8 @@ class InferenceEngine:
             self.runtime.dp_size, self.runtime.tp_size
         )
         self.compute_dtype = _DTYPES[self.runtime.compute_dtype]
+        if self.runtime.fuse_qkv:
+            params = fuse_qkv_params(params, cfg)
         self.params = shard_params(params, self.mesh)
         self._param_shardings = shard_spec_tree(params, self.mesh)
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))

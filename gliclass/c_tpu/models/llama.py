@@ -85,7 +85,9 @@ def llama_attention(
         / math.sqrt(d)
     ).astype(score_dtype)
     scores = scores + mask_bias[:, None, None, :, :].astype(score_dtype)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
+    from ..ops.layers import masked_softmax
+
+    probs = masked_softmax(scores).astype(compute_dtype)
     ctx = jnp.einsum("bkgij,bkjd->bkgid", probs, v, preferred_element_type=jnp.float32)
     ctx = ctx.astype(compute_dtype).reshape(B, nh, S, d)
     ctx = jnp.moveaxis(ctx, 1, 2).reshape(B, S, nh * d)

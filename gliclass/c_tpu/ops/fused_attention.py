@@ -171,6 +171,8 @@ def fusable(S: int, d: int, compute_dtype) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
+    if os.environ.get("GLICLASS_TPU_FORCE_FUSED_ATTN") == "1":
+        return on_tpu and S <= MAX_FUSED_SEQ and S % 8 == 0 and d % 8 == 0
     # Measured on v5e (gliclass-base, B=128, full engine step): with head
     # grouping the kernel wins 1.6x at S=256 and 2.1x at S=512 vs the XLA
     # Toeplitz path, but still loses ~11% at S=128 (skew roll overhead vs

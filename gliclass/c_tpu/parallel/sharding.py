@@ -32,7 +32,7 @@ Params = dict[str, Any]
 
 # Parent-module names whose kernels are column-parallel (shard output dim)
 # vs row-parallel (shard input dim).
-_COL_PARALLEL = {"q", "k", "v", "pos_q", "pos_k", "up", "gate", "linear_1", "mlp_1"}
+_COL_PARALLEL = {"q", "k", "v", "qkv", "pos_q", "pos_k", "up", "gate", "linear_1", "mlp_1"}
 _ROW_PARALLEL = {"o", "down", "linear_2", "mlp_2"}
 
 

@@ -120,3 +120,23 @@ def test_step_cache_reuse():
     assert len(engine._steps) == 1  # same (S, L) bucket -> one executable
     engine.run(make_batch(s=32), max_labels=4)
     assert len(engine._steps) == 2
+
+
+def test_fused_qkv_matches_unfused():
+    """fuse_qkv is math-identical: disjoint output columns of one wide matmul
+    equal the three separate projections (engine.fuse_qkv_params)."""
+    from gliclass.c_tpu.ops.quant import quantize_tree
+
+    cfg = tiny_cfg()
+    params = init_gliclass_params(jax.random.key(1), cfg)
+    batch = make_batch(seed=3)
+    for quant, p in (("none", params), ("int8", quantize_tree(params))):
+        rt = dict(compute_dtype="float32", quant_mode=quant)
+        fused = InferenceEngine(cfg, p, RuntimeConfig(fuse_qkv=True, **rt))
+        plain = InferenceEngine(cfg, p, RuntimeConfig(fuse_qkv=False, **rt))
+        assert "qkv" in jax.tree_util.tree_structure(fused.params).__str__()
+        np.testing.assert_allclose(
+            fused.run(batch, max_labels=4),
+            plain.run(batch, max_labels=4),
+            atol=1e-6,
+        )

@@ -145,16 +145,37 @@ def build_torch_gliclass(cfg: GLiClassConfig, seed: int = 0):
             counts = is_label.sum(-1)
             label_mask = slots.unsqueeze(0) < counts.unsqueeze(1)
 
+            if cfg.extract_text_features:
+                # Pool only the raw-text span (mirror of models/heads.py
+                # text_span_mask; reconstructed semantics — see PARITY.md).
+                valid = attention_mask.bool()
+                is_sep = input_ids == cfg.text_token_index
+                if cfg.prompt_first:
+                    after = (torch.cumsum(is_sep.long(), dim=-1) - is_sep.long()) >= 1
+                    span = after & valid & ~is_sep & ~is_label
+                else:
+                    span = (torch.cumsum(is_label.long(), dim=-1) == 0) & valid & ~is_sep
+                has = span.any(-1, keepdim=True)
+                span = torch.where(has, span, valid)
+                pool_mask = span.long()
+            else:
+                span = None
+                pool_mask = attention_mask
+
             if cfg.pooling_strategy == "first":
-                text_rep = hidden[:, 0]
+                if span is None:
+                    text_rep = hidden[:, 0]
+                else:
+                    first = span.long().argmax(dim=-1)
+                    text_rep = hidden[torch.arange(B), first]
             elif cfg.pooling_strategy == "mean":
-                m = attention_mask.unsqueeze(-1).to(hidden.dtype)
+                m = pool_mask.unsqueeze(-1).to(hidden.dtype)
                 text_rep = (hidden * m).sum(1) / m.sum(1).clamp(min=1.0)
             elif cfg.pooling_strategy == "max":
-                m = attention_mask.unsqueeze(-1).bool()
+                m = pool_mask.unsqueeze(-1).bool()
                 text_rep = hidden.masked_fill(~m, torch.finfo(hidden.dtype).min).max(1).values
             elif cfg.pooling_strategy == "sum":
-                m = attention_mask.unsqueeze(-1).to(hidden.dtype)
+                m = pool_mask.unsqueeze(-1).to(hidden.dtype)
                 text_rep = (hidden * m).sum(1)
             else:
                 raise ValueError(cfg.pooling_strategy)

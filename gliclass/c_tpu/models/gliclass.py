@@ -67,13 +67,6 @@ def gliclass_forward(
             "(the exporter enforces uni-encoder too; reference "
             "ONNX_CONVERTING/convert_to_onnx.py:48-52)"
         )
-    # Fail loudly on checkpoint features this engine does not implement —
-    # silently ignoring them would produce wrong logits.
-    if cfg.extract_text_features:
-        raise NotImplementedError(
-            "extract_text_features is not supported (no published uni-encoder "
-            "checkpoint sets it)"
-        )
     if cfg.squeeze_layers:
         # LayersFuser: softmax-weighted mix of all encoder states.
         from .heads import fuse_layers

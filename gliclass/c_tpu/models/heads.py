@@ -56,17 +56,65 @@ def extract_label_embeddings(
     return label_emb, label_mask
 
 
+def text_span_mask(
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    class_token_id: int,
+    sep_token_id: int,
+    prompt_first: bool,
+) -> jax.Array:
+    """Bool mask [B,S] selecting the raw-text tokens of a packed prompt.
+
+    Supports ``extract_text_features``: the gliclass package pools only the
+    text portion of the sequence instead of the whole prompt. The span is
+    derived from the fixed prompt layouts of the packer (reference
+    src/preprocessor.c:84-108):
+
+      prompt_first=True : [CLS] <<LABEL>> l1 ... <<SEP>> text  [EOS]
+      prompt_first=False: [CLS] text <<LABEL>> l1 ... <<SEP>>  [EOS]
+
+    so text tokens are those strictly after the first ``<<SEP>>``
+    (prompt-first) or strictly before the first ``<<LABEL>>`` (text-first),
+    restricted to valid positions, never the tag tokens themselves.
+    Reconstructed semantics (no published uni-encoder checkpoint sets the
+    flag; see PARITY.md): the exact upstream pooling region is validated only
+    against the independent torch mirror in convert/torch_ref.py. A row whose
+    span is empty (e.g. empty text) falls back to all valid tokens.
+    """
+    valid = attention_mask.astype(bool)
+    is_label = input_ids == class_token_id
+    is_sep = input_ids == sep_token_id
+    if prompt_first:
+        cum_sep = jnp.cumsum(is_sep.astype(jnp.int32), axis=-1)
+        after_first_sep = (cum_sep - is_sep.astype(jnp.int32)) >= 1
+        span = after_first_sep & valid & ~is_sep & ~is_label
+    else:
+        before_first_label = jnp.cumsum(is_label.astype(jnp.int32), axis=-1) == 0
+        span = before_first_label & valid & ~is_sep
+    has_text = jnp.any(span, axis=-1, keepdims=True)
+    return jnp.where(has_text, span, valid)
+
+
 def pool_text(
-    hidden: jax.Array, attention_mask: jax.Array, strategy: str
+    hidden: jax.Array,
+    attention_mask: jax.Array,
+    strategy: str,
+    span: jax.Array | None = None,
 ) -> jax.Array:
     """Sequence -> single text representation [B,H].
 
     Strategies mirror the gliclass package poolers: 'first' (CLS token — used by
-    the published v1.0 checkpoints), masked 'mean' / 'max' / 'sum'.
+    the published v1.0 checkpoints), masked 'mean' / 'max' / 'sum'. With
+    ``span`` (a [B,S] bool mask from :func:`text_span_mask`), pooling is
+    restricted to the span and 'first' picks the first span token instead of
+    position 0 (the ``extract_text_features`` path).
     """
     if strategy == "first":
-        return hidden[:, 0]
-    m = attention_mask[..., None].astype(hidden.dtype)
+        if span is None:
+            return hidden[:, 0]
+        first = jnp.argmax(span, axis=-1)  # first True position per row
+        return jnp.take_along_axis(hidden, first[:, None, None], axis=1)[:, 0]
+    m = (attention_mask if span is None else span)[..., None].astype(hidden.dtype)
     if strategy == "mean":
         return jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
     if strategy == "sum":
@@ -208,7 +256,13 @@ def gliclass_head(
     label_emb, label_mask = extract_label_embeddings(
         hidden, input_ids, cfg.class_token_index, max_labels
     )
-    text_rep = pool_text(hidden, attention_mask, cfg.pooling_strategy)
+    span = None
+    if cfg.extract_text_features:
+        span = text_span_mask(
+            input_ids, attention_mask, cfg.class_token_index,
+            cfg.text_token_index, cfg.prompt_first,
+        )
+    text_rep = pool_text(hidden, attention_mask, cfg.pooling_strategy, span=span)
 
     text_rep = features_projector(
         params["text_projector"], text_rep, cfg.projector_hidden_act, compute_dtype

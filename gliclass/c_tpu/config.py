@@ -46,9 +46,13 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"
     # "none" (use bundle dtype) | "int8" (weight-only INT8 pallas path)
     quant_mode: str = "none"
-    # Mesh axes sizes: data parallel x model (tensor) parallel. (1, 1) = single chip.
+    # Mesh axes sizes: data parallel x sequence parallel x model (tensor)
+    # parallel. (1, 1, 1) = single chip. SP shards the token axis of
+    # activations (long-context/reranker jobs); buckets not divisible by
+    # sp_size run seq-replicated.
     dp_size: int = 1
     tp_size: int = 1
+    sp_size: int = 1
     # Tokenization host-parallelism.
     tokenizer_workers: int = 8
     # Overlap tokenization with device execution ("auto" enables it when the

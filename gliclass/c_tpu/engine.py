@@ -24,7 +24,14 @@ import numpy as np
 
 from .config import GLiClassConfig, RuntimeConfig
 from .models.gliclass import gliclass_probs
-from .parallel.mesh import DATA_AXIS, Mesh, NamedSharding, P, make_mesh
+from .parallel.mesh import (
+    DATA_AXIS,
+    Mesh,
+    NamedSharding,
+    P,
+    make_mesh,
+    seq_sharding,
+)
 from .parallel.sharding import shard_params, shard_spec_tree
 from .tokenization import TokenizedBatch
 
@@ -104,14 +111,13 @@ class InferenceEngine:
         self.cfg = cfg
         self.runtime = runtime or RuntimeConfig()
         self.mesh = mesh if mesh is not None else make_mesh(
-            self.runtime.dp_size, self.runtime.tp_size
+            self.runtime.dp_size, self.runtime.tp_size, self.runtime.sp_size
         )
         self.compute_dtype = _DTYPES[self.runtime.compute_dtype]
         if self.runtime.fuse_qkv:
             params = fuse_qkv_params(params, cfg)
         self.params = shard_params(params, self.mesh)
         self._param_shardings = shard_spec_tree(params, self.mesh)
-        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
         self._out_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
         self._steps: dict[tuple[int, int], Any] = {}
 
@@ -121,6 +127,12 @@ class InferenceEngine:
         step = self._steps.get(key)
         if step is None:
             cfg, dtype = self.cfg, self.compute_dtype
+            # Inputs shard [B, S] over (data, seq). With sp>1 the activations
+            # stay token-sharded through embeddings/FFN/norms; XLA's SPMD
+            # partitioner inserts the k/v all-gathers attention needs (the
+            # sequence-parallel schedule of the scaling-book recipe). Buckets
+            # not divisible by sp fall back to seq-replicated.
+            in_sharding = seq_sharding(self.mesh, seq_len)
 
             def fwd(params, input_ids, attention_mask):
                 return gliclass_probs(
@@ -129,11 +141,7 @@ class InferenceEngine:
 
             step = jax.jit(
                 fwd,
-                in_shardings=(
-                    self._param_shardings,
-                    self._batch_sharding,
-                    self._batch_sharding,
-                ),
+                in_shardings=(self._param_shardings, in_sharding, in_sharding),
                 out_shardings=self._out_sharding,
             )
             self._steps[key] = step

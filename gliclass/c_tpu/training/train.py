@@ -107,10 +107,17 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def shard_batch(mesh: Mesh, *arrays):
-    """Place batch arrays with batch-dim over the data axis."""
-    sh = NamedSharding(mesh, P(DATA_AXIS, None))
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+def shard_batch(mesh: Mesh, ids, mask, *rest):
+    """Place batch arrays on the mesh: ids/mask [B, S] over (data, seq) —
+    token-axis sequence parallelism when the mesh has an sp axis and S divides
+    it — targets/label-mask [B, L] over data only."""
+    from ..parallel.mesh import seq_sharding
+
+    tok_sh = seq_sharding(mesh, ids.shape[1])
+    row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    out = (jax.device_put(ids, tok_sh), jax.device_put(mask, tok_sh)) + tuple(
+        jax.device_put(a, row_sh) for a in rest
+    )
     return out if len(out) > 1 else out[0]
 
 

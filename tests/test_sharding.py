@@ -82,6 +82,49 @@ def test_mesh_invariance(tiny_tokenizer_file, model_type, dp, tp):
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("model_type", ["deberta-v2", "llama"])
+@pytest.mark.parametrize("dp,sp,tp", [(1, 8, 1), (1, 2, 4), (2, 2, 2)])
+def test_seq_parallel_invariance(tiny_tokenizer_file, model_type, dp, sp, tp):
+    """Sequence parallelism: probs invariant when the token axis is sharded.
+
+    make_batch pads to S=32, divisible by every sp here; XLA inserts the k/v
+    all-gathers for attention across the seq axis."""
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    cfg = tiny_cfg(tok, model_type)
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    batch = make_batch(tok)
+
+    ref = InferenceEngine(
+        cfg, params, RuntimeConfig(compute_dtype="float32")
+    ).run(batch, max_labels=4)
+    engine = InferenceEngine(
+        cfg,
+        params,
+        RuntimeConfig(compute_dtype="float32", dp_size=dp, tp_size=tp, sp_size=sp),
+    )
+    out = engine.run(batch, max_labels=4)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_seq_parallel_indivisible_bucket_falls_back(tiny_tokenizer_file):
+    """A seq length that does not divide sp runs seq-replicated (no crash)."""
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    cfg = tiny_cfg(tok)
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    texts = [f"odd length text {i}" for i in range(4)]
+    prompts = pack_prompts(texts, [["a", "b"]], True, True)
+    batch = tok.encode_batch(prompts, max_length=64, pad_to=27)  # 27 % 8 != 0
+
+    engine = InferenceEngine(
+        cfg, params, RuntimeConfig(compute_dtype="float32", sp_size=8)
+    )
+    out = engine.run(batch, max_labels=4)
+    ref = InferenceEngine(
+        cfg, params, RuntimeConfig(compute_dtype="float32")
+    ).run(batch, max_labels=4)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_mesh_invariance_int8(tiny_tokenizer_file):
     from gliclass.c_tpu.ops.quant import quantize_tree
 

@@ -81,7 +81,7 @@ def main() -> None:
         max_length=512,
         compute_dtype="bfloat16",
         quant_mode="int8",
-        seq_buckets=(96, 128, 192, 256, 512),
+        seq_buckets=(96, 128, 192, 256, 384, 512),
         label_buckets=(8,),
         dp_size=1,
         tp_size=1,

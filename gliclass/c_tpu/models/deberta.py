@@ -125,10 +125,13 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
 # Largest S for which the [h, d, S, S] absolute position tables (see
 # _abs_pos_table) stay small enough that the table-skew bias path beats the
 # relative-axis einsum + rel_to_abs path (table traffic is batch-independent:
-# it wins whenever head_dim < 2*batch). S in [256, 512] with S % 128 == 0
-# takes the fused Pallas kernel instead; very long sequences fall back to the
-# relative-axis path to avoid multi-GB tables.
-_TABLE_SKEW_MAX_SEQ = 192
+# it wins whenever head_dim < 2*batch). Measured on v5e (B=128, base-v1.0
+# INT8 full step): table-skew 66.2/116.9/413.9 ms at S=192/256/512 vs fused
+# Pallas 110.7/147.3/409.3 and rel-axis 136.5/250.4/918.3 — table wins through
+# S=384; at S=512 the fused kernel ties and uses ~400MB less HBM, so fused
+# takes over there (ops/fused_attention.fusable). Very long sequences fall
+# back to the relative-axis path to avoid multi-GB tables.
+_TABLE_SKEW_MAX_SEQ = 384
 
 
 def _skew_onehot(S: int, dtype) -> jax.Array:

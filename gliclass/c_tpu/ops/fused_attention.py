@@ -154,11 +154,224 @@ def fused_disentangled_attention(
 ) -> jax.Array:
     """Returns context [B, h, S, d] in q.dtype."""
     B, h, S, d = q.shape
+    if _use_flash(S):
+        return flash_disentangled_attention(
+            q, k, v, pos_k_rel, pos_q_rel, attention_mask, scale
+        )
     W = pos_k_rel.shape[1]
     g = _pick_group(h, S, d, W)
     return _fused_call(
         q, k, v, pos_k_rel, pos_q_rel,
         attention_mask.astype(jnp.int32)[:, None, :], scale, g,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flash-style blocked kernel: streaming softmax over key blocks.
+# ---------------------------------------------------------------------------
+# The whole-row kernel above holds [g, S, 2S-1] intermediates in VMEM and pays
+# log2(S) full-width skew rolls — both grow with S, which is why it loses to
+# the XLA table-skew path at S in [192, 384]. The blocked kernel exploits the
+# Toeplitz structure locally instead: for a (blk x blk) score tile at row
+# block ib / key block jb, the relative offset j - i + S - 1 spans only the
+# 2*blk-wide window starting at blk*(jb - ib) + S - blk, so each grid step
+# fetches one pre-sliced window of the position tables and skews a
+# [blk, 2*blk] tile with log2(blk) rolls — constant in S. Softmax is the
+# standard online (running max / running sum) flash recurrence; no [B,h,S,*]
+# tensor ever touches HBM and VMEM use is O(blk^2), independent of S.
+
+_FLASH_BLK = 128  # MXU/lane-aligned; S must be a multiple
+
+
+def _flash_min_seq() -> int:
+    """Opt-in only (GLICLASS_TPU_FLASH_ATTN=1). Measured on v5e (B=128,
+    base-v1.0 INT8 full step): 52.0/150.2/505.0 ms at S=128/256/512 — the
+    per-tile skew rolls are VPU-bound and scale with batch (unlike the XLA
+    table-skew path, whose skew cost is batch-independent), so it loses to
+    the table path (30.5/116.9/413.9) everywhere despite doing the fewest
+    FLOPs and touching the least HBM. Kept as the O(blk^2)-VMEM reference
+    path for geometries where the [h,d,S,S] tables cannot fit."""
+    import os
+
+    v = os.environ.get("GLICLASS_TPU_FLASH_ATTN", "auto")
+    if v == "1":
+        return _FLASH_BLK
+    return 1 << 30
+
+
+def _use_flash(S: int) -> bool:
+    return S % _FLASH_BLK == 0 and S >= _flash_min_seq()
+
+
+def _skew_win(x: jax.Array, blk: int) -> jax.Array:
+    """[g, R, 2*blk] window-relative scores -> [g, R, blk] block-absolute:
+    out[., r, c] = x[., r, c - r + blk - 1].
+
+    Same roll-decomposition as :func:`_skew`, but on a width-2*blk tile, so the
+    roll count is log2(blk) regardless of sequence length. Every needed final
+    index c - r + blk - 1 lies in [0, 2*blk - 2]: the modular rotation never
+    wraps a wanted element."""
+    y = jnp.roll(x, -(blk - 1), axis=-1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 2)
+    b = 1
+    while b < blk:
+        y = jnp.where((row_ids & b) != 0, jnp.roll(y, b, axis=-1), y)
+        b *= 2
+    return y[..., :blk]
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, poskw_ref, posqw_ref, mask_ref, o_ref,
+    acc_ref, m_ref, l_ref, *, scale, n_k, blk
+):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [g, blk, d]
+    k = k_ref[0]
+    v = v_ref[0]
+    posk = poskw_ref[:, 0]  # [g, 2*blk, d]
+    posq = posqw_ref[:, 0]
+
+    bdn = (((2,), (2,)), ((0,), (0,)))  # batched over g, contract d
+    qk = jax.lax.dot_general(q, k, bdn, preferred_element_type=jnp.float32)
+    qp = jax.lax.dot_general(q, posk, bdn, preferred_element_type=jnp.float32)
+    kp = jax.lax.dot_general(k, posq, bdn, preferred_element_type=jnp.float32)
+
+    # c2p[., di, dj] = qp[., di, dj - di + blk - 1]
+    # p2c[., di, dj] = kp[., dj, di - dj + blk - 1] = skew(kp)[., dj, di]^T
+    s = (qk + _skew_win(qp, blk) + jnp.swapaxes(_skew_win(kp, blk), 1, 2)) * (
+        1.0 / scale
+    )
+
+    key_ok = mask_ref[0, 0] > 0  # [blk]
+    s = jnp.where(key_ok[None, None, :], s, -1e30)
+
+    m_prev = m_ref[:]  # [g, blk]
+    l_prev = l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[..., None])
+    l_ref[:] = alpha * l_prev + jnp.sum(p, axis=-1)
+    m_ref[:] = m_new
+
+    pv = (((2,), (1,)), ((0,), (0,)))
+    ctx = jax.lax.dot_general(
+        p.astype(v.dtype), v, pv, preferred_element_type=jnp.float32
+    )
+    acc_ref[:] = acc_ref[:] * alpha[..., None] + ctx
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:][..., None]).astype(o_ref.dtype)
+
+
+def _pick_flash_group(h: int, d: int, blk: int) -> int:
+    """Largest divisor g of h fitting the VMEM budget (inputs double-buffered
+    + fp32 tile intermediates + accumulator)."""
+    for g in range(h, 0, -1):
+        if h % g:
+            continue
+        blocks = 2 * g * (4 * blk * d * 2 + 2 * 2 * blk * d * 2)  # q/k/v/o + wins
+        interm = g * (4 * blk * blk * 4 + 4 * blk * 2 * blk * 4)  # qk/c2p/p2c/p + qp/kp/skews
+        scratch = g * (blk * d * 4 + 2 * blk * 4)
+        if blocks + interm + scratch <= _VMEM_BUDGET:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "g", "blk"))
+def _flash_call(q, k, v, posk_win, posq_win, mask, scale, g, blk):
+    B, h, S, d = q.shape
+    n_q = S // blk
+    n_k = n_q
+    grid = (B, h // g, n_q, n_k)
+
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:
+        interpret = True
+
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, n_k=n_k, blk=blk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g, blk, d), lambda b, j, iq, ik: (b, j, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, blk, d), lambda b, j, iq, ik: (b, j, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, blk, d), lambda b, j, iq, ik: (b, j, ik, 0),
+                         memory_space=pltpu.VMEM),
+            # c2p window for tile (iq, ik) starts at blk*(ik - iq) + S - blk
+            # = window index ik - iq + n_q - 1 (pre-sliced, stride blk).
+            pl.BlockSpec(
+                (g, 1, 2 * blk, d),
+                lambda b, j, iq, ik: (j, ik - iq + n_q - 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g, 1, 2 * blk, d),
+                lambda b, j, iq, ik: (j, iq - ik + n_q - 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, blk), lambda b, j, iq, ik: (b, 0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, blk, d), lambda b, j, iq, ik: (b, j, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, h, S, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, blk, d), jnp.float32),
+            pltpu.VMEM((g, blk), jnp.float32),
+            pltpu.VMEM((g, blk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * h * S * S * d * (2 + 4),  # qk+pv + qp/kp windows
+            bytes_accessed=B * h * S * d * 2 * (3 + 1) + B * h * S * S // blk * d,
+            transcendentals=B * h * S * S,
+        ),
+        interpret=interpret,
+    )(q, k, v, posk_win, posq_win, mask)
+
+
+def flash_disentangled_attention(
+    q: jax.Array,  # [B, h, S, d]
+    k: jax.Array,
+    v: jax.Array,
+    pos_k_rel: jax.Array,  # [h, 2S-1, d]
+    pos_q_rel: jax.Array,  # [h, 2S-1, d]
+    attention_mask: jax.Array,  # [B, S] (1 = valid key)
+    scale: float,
+    blk: int = _FLASH_BLK,
+) -> jax.Array:
+    """Blocked/online-softmax disentangled attention; S must divide blk.
+
+    Pre-slices the [h, 2S-1, d] position tables into overlapping stride-blk,
+    width-2*blk windows ([h, 2S/blk - 1, 2*blk, d], ~2x duplication of a
+    tiny table) so each grid step's BlockSpec fetch is a static window pick."""
+    B, h, S, d = q.shape
+    assert S % blk == 0, (S, blk)
+    n_win = 2 * (S // blk) - 1
+    # pad W = 2S-1 -> 2S so every window slice is in-bounds
+    pad = jnp.zeros((h, 1, d), pos_k_rel.dtype)
+    posk_pad = jnp.concatenate([pos_k_rel, pad], axis=1)
+    posq_pad = jnp.concatenate([pos_q_rel, pad], axis=1)
+    starts = jnp.arange(n_win) * blk  # [n_win]
+    idx = starts[:, None] + jnp.arange(2 * blk)[None, :]  # [n_win, 2blk]
+    posk_win = jnp.take(posk_pad, idx, axis=1)  # [h, n_win, 2blk, d]
+    posq_win = jnp.take(posq_pad, idx, axis=1)
+    g = _pick_flash_group(h, d, blk)
+    return _flash_call(
+        q, k, v, posk_win, posq_win,
+        attention_mask.astype(jnp.int32)[:, None, :], scale, g, blk,
     )
 
 
@@ -173,13 +386,15 @@ def fusable(S: int, d: int, compute_dtype) -> bool:
         on_tpu = False
     if os.environ.get("GLICLASS_TPU_FORCE_FUSED_ATTN") == "1":
         return on_tpu and S <= MAX_FUSED_SEQ and S % 8 == 0 and d % 8 == 0
-    # Measured on v5e (gliclass-base, B=128, full engine step): with head
-    # grouping the kernel wins 1.6x at S=256 and 2.1x at S=512 vs the XLA
-    # Toeplitz path, but still loses ~11% at S=128 (skew roll overhead vs
-    # XLA's already-cheap pad/reshape skew at that size) — engage at S >= 256.
+    # Measured on v5e (gliclass-base, B=128, full engine step): the XLA
+    # table-skew path (models/deberta._abs_pos_table) beats this kernel at
+    # S=192 (66.2 vs 110.7 ms) and S=256 (116.9 vs 147.3); at S=512 the kernel
+    # ties (409.3 vs 413.9) while avoiding the ~400MB [h,d,S,S] tables —
+    # engage only at S >= 512. (The kernel's earlier 1.6-2.1x wins were vs the
+    # pre-table XLA path.)
     return (
         on_tpu
-        and 256 <= S <= MAX_FUSED_SEQ
+        and 512 <= S <= MAX_FUSED_SEQ
         and S % 128 == 0
         and d % 8 == 0
     )

@@ -53,6 +53,38 @@ def test_fused_matches_xla(S):
         )
 
 
+@pytest.mark.parametrize("S,blk", [(16, 8), (24, 8), (32, 16)])
+def test_flash_matches_xla(S, blk):
+    """Blocked/online-softmax kernel vs the XLA reference (interpret mode).
+
+    Small blk exercises the multi-block online-softmax recurrence and the
+    windowed position-table slicing (the TPU default is blk=128)."""
+    from gliclass.c_tpu.ops.fused_attention import flash_disentangled_attention
+
+    B, h, d = 2, 3, 8
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    W = 2 * S - 1
+    pos_k = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    pos_q = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    mask = np.ones((B, S), dtype=np.int32)
+    mask[1, S - 3 :] = 0
+    mask = jnp.asarray(mask)
+    scale = math.sqrt(d * 3)
+
+    ref = np.asarray(xla_reference(q, k, v, pos_k, pos_q, mask, scale))
+    out = np.asarray(
+        flash_disentangled_attention(q, k, v, pos_k, pos_q, mask, scale, blk=blk)
+    )
+    valid = np.asarray(mask).astype(bool)
+    for b in range(B):
+        np.testing.assert_allclose(
+            out[b, :, valid[b]], ref[b, :, valid[b]], atol=1e-5, rtol=1e-5
+        )
+
+
 def test_fused_with_real_bias_columns():
     """End-to-end shape check with real bucketed columns (taken tables)."""
     from gliclass.c_tpu.models.deberta import log_bucket

@@ -145,6 +145,15 @@ def main() -> None:
         dt = time.perf_counter() - t
         log(f"reranker config (128 passages, S=512 bucket): "
             f"{len(rr_texts)/dt:.1f} texts/s; stages {rr.timings}")
+        # Speed-of-light accounting (BASELINE.md kernel requirement): the
+        # reranker run is one compiled step at [128, 512] on this chip.
+        from gliclass.c_tpu.utils.perf import speed_of_light
+
+        if platform == "tpu" and rr.timings:
+            sol = speed_of_light(
+                cfg, len(rr_texts), 512, rr.timings["device_s"], chip="v5e"
+            )
+            log(f"speed-of-light (S=512 step): {sol}")
 
     print(
         json.dumps(

@@ -26,6 +26,41 @@ class TestMetrics:
         assert "tokenize=" in t.report()
 
 
+class TestPerf:
+    def test_step_cost_scales(self):
+        from gliclass.c_tpu.config import GLiClassConfig, deberta_v3_config
+        from gliclass.c_tpu.utils.perf import gliclass_step_cost
+
+        cfg = GLiClassConfig(hidden_size=768, backbone=deberta_v3_config("base"))
+        c1 = gliclass_step_cost(cfg, 128, 128)
+        c2 = gliclass_step_cost(cfg, 256, 128)
+        # projection FLOPs are linear in batch; hand-check one term:
+        # 12 layers * 4 matmuls * 2 * (128*128 tokens) * 768^2
+        assert c1.flops["qkv_o_proj"] == 12 * 4 * 2 * 128 * 128 * 768 * 768
+        assert c2.flops["qkv_o_proj"] == 2 * c1.flops["qkv_o_proj"]
+        # attention einsums are quadratic in seq
+        c4 = gliclass_step_cost(cfg, 128, 256)
+        assert c4.flops["attn_content_pv"] == 4 * c1.flops["attn_content_pv"]
+        # int8 weights read half the bytes of bf16
+        cb = gliclass_step_cost(cfg, 128, 128, quant_mode="bf16")
+        assert cb.hbm_bytes["weights"] == 2 * c1.hbm_bytes["weights"]
+
+    def test_speed_of_light_report(self):
+        from gliclass.c_tpu.config import GLiClassConfig, deberta_v3_config
+        from gliclass.c_tpu.utils.perf import speed_of_light
+
+        cfg = GLiClassConfig(hidden_size=768, backbone=deberta_v3_config("base"))
+        # measured v5e point: B=128 S=512 step at 409ms (fused kernel path)
+        r = speed_of_light(cfg, 128, 512, 0.409, chip="v5e")
+        assert 0 < r["mxu_util"] < 1 and 0 < r["hbm_util"] < 1
+        assert 0 < r["sol_frac"] <= 1  # SoL time cannot exceed measured
+        assert r["sol_ms"] <= r["step_ms"]
+        # a step at exactly the compute bound reports sol_frac ~1
+        peak_s = r["sol_ms"] / 1e3
+        r2 = speed_of_light(cfg, 128, 512, peak_s, chip="v5e")
+        assert r2["sol_frac"] == 1.0
+
+
 class TestEval:
     def test_perfect_f1(self):
         from gliclass.c_tpu.utils.eval import multilabel_f1

@@ -125,6 +125,33 @@ def cmd_fetch(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the model over HTTP with continuous batching (capability
+    addition: the reference is a one-shot batch binary, main.c:116-171)."""
+    from .convert import bundle as B
+    from .engine import InferenceEngine
+    from .serving import GLiClassServer
+    from .tokenization import PromptTokenizer
+
+    runtime = _runtime_from_args(args)
+    bundle_path = _resolve_bundle(args)
+    engine = InferenceEngine.from_bundle(bundle_path, runtime)
+    tokenizer = PromptTokenizer.from_file(B.tokenizer_path(bundle_path))
+    server = GLiClassServer(
+        engine, tokenizer, runtime, host=args.host, port=args.port,
+        max_wait_ms=args.max_wait_ms,
+    )
+    print(f"serving {engine.cfg.original_model_name} on "
+          f"http://{args.host}:{server.port} (POST /classify)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0
+
+
 def cmd_selftest(args) -> int:
     """Golden-logit regression: re-run the bundle's golden samples on the JAX
     engine and assert atol 1e-3 (the reference's gate; test_onnx.py:30,74)."""
@@ -187,6 +214,16 @@ def main(argv=None) -> int:
     p_fetch.add_argument("--no-quantize", action="store_true")
     p_fetch.add_argument("--force", action="store_true")
     p_fetch.set_defaults(fn=cmd_fetch)
+
+    p_serve = sub.add_parser("serve", help="HTTP serving with continuous batching")
+    p_serve.add_argument("--host", default="0.0.0.0")
+    p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument(
+        "--max-wait-ms", type=float, default=5.0,
+        help="micro-batch fill window before dispatching a partial batch",
+    )
+    _add_runtime_flags(p_serve)
+    p_serve.set_defaults(fn=cmd_serve)
 
     p_self = sub.add_parser("selftest", help="golden-logit regression check")
     _add_runtime_flags(p_self)

@@ -1,0 +1,203 @@
+"""HTTP serving endpoint over the continuous-batching scheduler.
+
+The reference is a batch-job binary only — results go to stdout and the
+process exits (reference main.c:116-171); there is no serving story at all.
+This module is the capability addition that makes the engine a long-running
+service: a stdlib ``ThreadingHTTPServer`` front end where every request's
+texts are submitted to the :class:`~.parallel.scheduler.StreamingScheduler`,
+which micro-batches concurrent requests into shape-bucketed device steps
+(each answered exactly once).
+
+API (JSON in / JSON out):
+
+    POST /classify   {"texts": [...] | "text": str,
+                      "labels": ["l1", ...] | [["per", "text"], ...],
+                      "classification_type": "multi-label" | "single-label",
+                      "threshold": float (optional)}
+                  -> {"results": [{text_index, text, decisions: [
+                       {label, score, index}, ...]}, ...]}
+    GET  /healthz -> {"status": "ok", "model": ...}
+    GET  /metrics -> {"requests", "texts", "errors", "uptime_s"}
+
+Stdlib-only by design (no extra deps in the serving image); for TLS or auth
+put it behind a reverse proxy.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .config import RuntimeConfig
+from .engine import InferenceEngine
+from .parallel.scheduler import StreamingScheduler
+from .postprocess import decide_batch
+from .tokenization import PromptTokenizer
+
+
+class ServingMetrics:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.texts = 0
+        self.errors = 0
+        self.started = time.time()
+
+    def record(self, texts: int = 0, error: bool = False):
+        with self._lock:
+            self.requests += 1
+            self.texts += texts
+            self.errors += int(error)
+
+    def to_dict(self) -> dict:
+        with self._lock:
+            return {
+                "requests": self.requests,
+                "texts": self.texts,
+                "errors": self.errors,
+                "uptime_s": round(time.time() - self.started, 1),
+            }
+
+
+def _parse_classify(body: dict) -> tuple[list[str], list[list[str]], bool, str, float | None]:
+    texts = body.get("texts")
+    if texts is None and "text" in body:
+        texts = [body["text"]]
+    if not isinstance(texts, list) or not texts:
+        raise ValueError("'texts' must be a non-empty list (or pass 'text')")
+    labels = body.get("labels")
+    if not isinstance(labels, list) or not labels:
+        raise ValueError("'labels' must be a non-empty list")
+    same_labels = isinstance(labels[0], str)
+    if same_labels:
+        labels = [list(labels)]
+    elif len(labels) != len(texts):
+        # mirrors the reference's per-text count check (read_data.c:106-143)
+        raise ValueError("per-text 'labels' must have one list per text")
+    ctype = body.get("classification_type", "multi-label")
+    if ctype not in ("multi-label", "single-label"):
+        raise ValueError(f"unsupported classification_type: {ctype!r}")
+    threshold = body.get("threshold")
+    if threshold is not None:
+        threshold = float(threshold)
+    return texts, labels, same_labels, ctype, threshold
+
+
+class GLiClassServer:
+    """Owns the scheduler and the HTTP listener.
+
+    ``port=0`` binds an ephemeral port (tests); ``.port`` reports the bound one.
+    """
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        tokenizer: PromptTokenizer,
+        runtime: RuntimeConfig | None = None,
+        host: str = "0.0.0.0",
+        port: int = 8000,
+        max_wait_ms: float = 5.0,
+    ):
+        self.runtime = runtime or engine.runtime
+        self.scheduler = StreamingScheduler(
+            engine, tokenizer, self.runtime, max_wait_ms=max_wait_ms
+        )
+        self.metrics = ServingMetrics()
+        self.model_name = engine.cfg.original_model_name
+        self.prompt_first = engine.cfg.prompt_first
+        self.default_threshold = self.runtime.threshold
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet per-request stderr lines; metrics replace them
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code: int, payload: dict):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok", "model": server.model_name})
+                elif self.path == "/metrics":
+                    self._send(200, server.metrics.to_dict())
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/classify":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    result = server.classify(body)
+                    self._send(200, result)
+                except ValueError as e:
+                    server.metrics.record(error=True)
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # engine failure: 500, keep serving
+                    server.metrics.record(error=True)
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------------
+    def classify(self, body: dict) -> dict:
+        import numpy as np
+
+        texts, labels, same_labels, ctype, threshold = _parse_classify(body)
+        futs = [
+            self.scheduler.submit(
+                t,
+                labels[0] if same_labels else labels[i],
+                self.prompt_first,
+            )
+            for i, t in enumerate(texts)
+        ]
+        counts = [
+            len(labels[0]) if same_labels else len(labels[i])
+            for i in range(len(texts))
+        ]
+        maxw = max(counts)
+        probs = np.zeros((len(texts), maxw), dtype=np.float32)
+        for i, f in enumerate(futs):
+            p = f.result(timeout=120)
+            probs[i, : len(p)] = p
+        results = decide_batch(
+            probs,
+            texts,
+            labels,
+            same_labels,
+            ctype,
+            self.default_threshold if threshold is None else threshold,
+            num_valid=counts,
+        )
+        self.metrics.record(texts=len(texts))
+        return {"results": [r.to_dict() for r in results]}
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self.scheduler.close()

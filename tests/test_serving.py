@@ -1,0 +1,152 @@
+"""HTTP serving endpoint: request/response contract, concurrency, errors.
+
+The server fronts the continuous-batching StreamingScheduler; responses must
+match the offline pipeline's decisions exactly (same decide_batch semantics,
+reference src/postprocessor.c:88-147)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from gliclass.c_tpu.config import BackboneConfig, GLiClassConfig, RuntimeConfig
+from gliclass.c_tpu.engine import InferenceEngine
+from gliclass.c_tpu.models.gliclass import init_gliclass_params
+from gliclass.c_tpu.pipeline import ZeroShotClassificationPipeline
+from gliclass.c_tpu.serving import GLiClassServer
+from gliclass.c_tpu.tokenization import PromptTokenizer
+
+RT = RuntimeConfig(
+    batch_size=4,
+    max_length=64,
+    compute_dtype="float32",
+    seq_buckets=(16, 32, 64),
+    label_buckets=(2, 4, 8),
+)
+
+
+@pytest.fixture(scope="module")
+def server(tiny_tokenizer_file):
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    bb = BackboneConfig(
+        model_type="deberta-v2", vocab_size=600, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, position_buckets=16,
+        norm_rel_ebd="layer_norm", share_att_key=True,
+        position_biased_input=False,
+    )
+    cfg = GLiClassConfig(
+        hidden_size=32, class_token_index=tok.label_token_id,
+        text_token_index=tok.sep_token_id, prompt_first=True, backbone=bb,
+    )
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    engine = InferenceEngine(cfg, params, RT)
+    srv = GLiClassServer(engine, tok, RT, host="127.0.0.1", port=0)
+    srv.start()
+    pipe = ZeroShotClassificationPipeline(engine, tok, RT)
+    yield srv, pipe
+    srv.close()
+
+
+def _post(port, path, payload, timeout=60):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    srv, _ = server
+    assert _get(srv.port, "/healthz")["status"] == "ok"
+
+
+def test_classify_matches_pipeline(server):
+    srv, pipe = server
+    texts = ["the quick brown fox", "open source model", "running dog races"]
+    labels = ["science", "sports", "format", "question"]
+    out = _post(srv.port, "/classify", {
+        "texts": texts, "labels": labels,
+        "classification_type": "multi-label", "threshold": 0.0,
+    })
+    ref = pipe(texts, labels, "multi-label", threshold=0.0)
+    assert len(out["results"]) == len(texts)
+    for got, want in zip(out["results"], ref):
+        w = want.to_dict()
+        assert got["text"] == w["text"]
+        got_scores = {d["label"]: d["score"] for d in got["decisions"]}
+        want_scores = {d["label"]: d["score"] for d in w["decisions"]}
+        assert set(got_scores) == set(want_scores)
+        for lbl in got_scores:
+            np.testing.assert_allclose(got_scores[lbl], want_scores[lbl], atol=1e-5)
+
+
+def test_single_text_and_single_label_mode(server):
+    srv, _ = server
+    out = _post(srv.port, "/classify", {
+        "text": "the quick brown fox",
+        "labels": ["science", "sports"],
+        "classification_type": "single-label",
+    })
+    assert len(out["results"]) == 1
+    # single-label: exactly one decision (argmax; reference postprocessor.c:116-147)
+    assert len(out["results"][0]["decisions"]) == 1
+
+
+def test_per_text_labels(server):
+    srv, _ = server
+    out = _post(srv.port, "/classify", {
+        "texts": ["alpha beta", "gamma delta"],
+        "labels": [["a", "b"], ["c", "d", "e"]],
+        "threshold": 0.0,
+    })
+    assert [len(r["decisions"]) for r in out["results"]] == [2, 3]
+
+
+def test_concurrent_requests_each_answered_once(server):
+    srv, _ = server
+    results = [None] * 8
+    def worker(i):
+        results[i] = _post(srv.port, "/classify", {
+            "texts": [f"text number {i}"], "labels": ["a", "b", "c"],
+            "threshold": 0.0,
+        })
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    [t.start() for t in threads]
+    [t.join(timeout=120) for t in threads]
+    for i, r in enumerate(results):
+        assert r is not None and len(r["results"]) == 1
+        assert r["results"][0]["text"] == f"text number {i}"
+
+
+def test_bad_requests(server):
+    srv, _ = server
+    for payload in (
+        {"labels": ["a"]},                                  # no texts
+        {"texts": ["x"], "labels": []},                     # empty labels
+        {"texts": ["x", "y"], "labels": [["a"]]},           # count mismatch
+        {"texts": ["x"], "labels": ["a"], "classification_type": "nope"},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.port, "/classify", payload)
+        assert e.value.code == 400
+        assert "error" in json.loads(e.value.read())
+
+
+def test_metrics(server):
+    srv, _ = server
+    m = _get(srv.port, "/metrics")
+    assert m["requests"] > 0 and m["texts"] > 0 and m["errors"] >= 4

@@ -296,7 +296,12 @@ def test_int8_quantized_model_close(tiny_tokenizer_file):
 
     full = np.asarray(gliclass_forward(params, ids, mask, cfg, max_labels=4))
     qparams = quantize_tree(jax.tree.map(np.asarray, params))
+    # the stacked backbone kernels must actually be quantized (tests/test_quant.py
+    # covers the full inventory; this guards THIS test's premise)
+    assert qparams["backbone"]["layers"]["attn"]["q"]["w_q"].dtype == np.int8
+    assert qparams["backbone"]["layers"]["ffn"]["down"]["w_q"].dtype == np.int8
     qparams = jax.tree.map(jnp.asarray, qparams)
     quant = np.asarray(gliclass_forward(qparams, ids, mask, cfg, max_labels=4))
     assert np.isfinite(quant).all()
+    assert np.abs(quant - full).max() > 1e-6, "int8 path was a silent no-op"
     np.testing.assert_allclose(quant, full, atol=0.15)

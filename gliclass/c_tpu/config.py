@@ -178,6 +178,16 @@ class GLiClassConfig:
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "GLiClassConfig":
         d = dict(d)
+        # Published HF gliclass checkpoints (knowledgator/gliclass-*) ship a
+        # composite config: model_type "GLiClass" with the full transformers
+        # encoder config nested under "encoder_config" (the schema the
+        # reference exporter consumes via GLiClassModel.from_pretrained,
+        # reference ONNX_CONVERTING/convert_to_onnx.py:48-52). Detect that
+        # schema and translate it; our own bundle configs use "backbone".
+        if "backbone" not in d and (
+            "encoder_config" in d or d.get("model_type") == "GLiClass"
+        ):
+            return _gliclass_config_from_hf_dict(d)
         bb = d.pop("backbone", {})
         if isinstance(bb, dict):
             bb = dict(bb)
@@ -192,6 +202,58 @@ class GLiClassConfig:
     @staticmethod
     def from_json(s: str) -> "GLiClassConfig":
         return GLiClassConfig.from_dict(json.loads(s))
+
+
+def _gliclass_config_from_hf_dict(d: dict[str, Any]) -> GLiClassConfig:
+    """Published HF gliclass ``config.json`` dict -> GLiClassConfig.
+
+    Field names follow the gliclass package's GLiClassModelConfig
+    (architecture_type / prompt_first / pooling_strategy / scorer_type /
+    class_token_index / text_token_index / encoder_config / ...). Training-only
+    fields (focal_loss_*, contrastive_loss_coef, initializer_range, ...) are
+    ignored. Mirrors the reference exporter's uni-encoder gate
+    (reference ONNX_CONVERTING/convert_to_onnx.py:48-52)."""
+    arch = d.get("architecture_type", "uni-encoder")
+    if arch != "uni-encoder":
+        raise ValueError(
+            f"unsupported architecture_type: {arch!r} — only 'uni-encoder' "
+            "checkpoints are supported (same gate as the reference exporter, "
+            "reference ONNX_CONVERTING/convert_to_onnx.py:48-52)"
+        )
+    enc = d.get("encoder_config")
+    if not isinstance(enc, dict):
+        name = d.get("encoder_model_name")
+        raise ValueError(
+            "HF gliclass config has no embedded 'encoder_config' dict"
+            + (f" (encoder_model_name={name!r})" if name else "")
+            + "; re-save the checkpoint config with the encoder config "
+            "embedded, or provide a native bundle config with 'backbone'"
+        )
+    # Lazy import: convert/ depends on config, so this must not be top-level.
+    from .convert.hf_backbones import backbone_config_from_hf_dict
+
+    backbone = backbone_config_from_hf_dict(enc)
+    return GLiClassConfig(
+        original_model_name=str(
+            d.get("original_model_name") or d.get("_name_or_path") or "unknown"
+        ),
+        architecture_type="uni-encoder",
+        # gliclass-package default is prompt_first=False (unlike our bundle
+        # default True, which follows the reference CLI's sample usage).
+        prompt_first=bool(d.get("prompt_first", False)),
+        hidden_size=int(d.get("hidden_size") or backbone.hidden_size),
+        projector_hidden_act=d.get("projector_hidden_act") or "gelu",
+        pooling_strategy=d.get("pooling_strategy") or "first",
+        scorer_type=d.get("scorer_type") or "simple",
+        normalize_features=bool(d.get("normalize_features", False)),
+        extract_text_features=bool(d.get("extract_text_features", False)),
+        squeeze_layers=bool(d.get("squeeze_layers", False)),
+        use_lstm=bool(d.get("use_lstm", False)),
+        class_token_index=int(d.get("class_token_index", -1)),
+        text_token_index=int(d.get("text_token_index", -1)),
+        max_num_classes=int(d.get("max_num_classes", 25)),
+        backbone=backbone,
+    )
 
 
 # Ready-made backbone configs for the published GLiClass family

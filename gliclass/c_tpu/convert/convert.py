@@ -113,6 +113,41 @@ def convert_gliclass_state_dict(sd: Mapping, cfg: GLiClassConfig) -> Params:
     return params
 
 
+def load_checkpoint_state_dict(model, sd: Mapping) -> None:
+    """Load a published-checkpoint state dict into the torch reference model,
+    loudly.
+
+    The published ``GLiClassModel`` wrapper nests the whole uni-encoder under a
+    ``model.`` prefix (``model.encoder_model.*``, ``model.text_projector.*``,
+    ...); strip it when present. Then require every *parameter* of the model to
+    be matched by a same-shaped checkpoint tensor — a silent
+    ``strict=False`` load that matches zero keys (the round-1 failure mode)
+    becomes a hard error listing what is missing/mismatched. Non-parameter
+    buffers (position ids, rotary caches) may legitimately be absent. Extra
+    checkpoint keys (poolers, task heads) are ignored, mirroring what the
+    reference exporter implicitly drops when tracing only the scoring path."""
+    names = {k for k, _ in model.named_parameters()}
+    if not any(k in sd for k in names):
+        prefixed = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+        if any(k in prefixed for k in names):
+            sd = prefixed
+    model_sd = model.state_dict()
+    missing = sorted(k for k in names if k not in sd)
+    mismatched = sorted(
+        f"{k}: checkpoint {tuple(sd[k].shape)} vs model {tuple(model_sd[k].shape)}"
+        for k in names
+        if k in sd and tuple(sd[k].shape) != tuple(model_sd[k].shape)
+    )
+    if missing or mismatched:
+        raise ValueError(
+            "checkpoint does not match the GLiClass uni-encoder reconstruction\n"
+            + (f"  missing parameters ({len(missing)}): {missing[:8]}...\n" if missing else "")
+            + (f"  shape mismatches ({len(mismatched)}): {mismatched[:8]}\n" if mismatched else "")
+            + f"  checkpoint keys look like: {sorted(sd)[:4]}"
+        )
+    model.load_state_dict({k: v for k, v in sd.items() if k in model_sd}, strict=False)
+
+
 def export_bundle(
     torch_model,
     cfg: GLiClassConfig,

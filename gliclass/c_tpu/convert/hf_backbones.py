@@ -129,26 +129,35 @@ def convert_llama_state_dict(sd: Mapping[str, Any], cfg: BackboneConfig) -> Para
 
 def llama_config_from_hf(hf_cfg, model_type: str) -> BackboneConfig:
     """transformers LlamaConfig / Qwen2Config -> BackboneConfig."""
+    heads = getattr(hf_cfg, "num_attention_heads", 32)
     return BackboneConfig(
         model_type=model_type,
         vocab_size=hf_cfg.vocab_size,
         hidden_size=hf_cfg.hidden_size,
         num_hidden_layers=hf_cfg.num_hidden_layers,
-        num_attention_heads=hf_cfg.num_attention_heads,
-        num_key_value_heads=getattr(hf_cfg, "num_key_value_heads", 0)
-        or hf_cfg.num_attention_heads,
+        num_attention_heads=heads,
+        num_key_value_heads=getattr(hf_cfg, "num_key_value_heads", 0) or heads,
         intermediate_size=hf_cfg.intermediate_size,
-        max_position_embeddings=hf_cfg.max_position_embeddings,
+        max_position_embeddings=getattr(hf_cfg, "max_position_embeddings", 2048),
         rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
         rms_norm_eps=getattr(hf_cfg, "rms_norm_eps", 1e-6),
         attention_bias=bool(getattr(hf_cfg, "attention_bias", False))
         or model_type == "qwen2",
         pad_token_id=getattr(hf_cfg, "pad_token_id", 0) or 0,
+        tie_word_embeddings=bool(getattr(hf_cfg, "tie_word_embeddings", False)),
     )
 
 
 def backbone_config_from_hf(hf_cfg) -> BackboneConfig:
-    """transformers DebertaV2Config -> BackboneConfig."""
+    """transformers DebertaV2Config -> BackboneConfig.
+
+    Every optional field falls back to the transformers DebertaV2Config
+    default, so this also accepts partially-specified configs (e.g. a nested
+    ``encoder_config`` dict wrapped in a namespace)."""
+    pos_att = getattr(hf_cfg, "pos_att_type", None) or ()
+    if isinstance(pos_att, str):
+        # transformers accepts the "p2c|c2p" string form too.
+        pos_att = [p.strip() for p in pos_att.split("|") if p.strip()]
     return BackboneConfig(
         model_type="deberta-v2",
         vocab_size=hf_cfg.vocab_size,
@@ -156,17 +165,41 @@ def backbone_config_from_hf(hf_cfg) -> BackboneConfig:
         num_hidden_layers=hf_cfg.num_hidden_layers,
         num_attention_heads=hf_cfg.num_attention_heads,
         intermediate_size=hf_cfg.intermediate_size,
-        hidden_act=hf_cfg.hidden_act,
-        max_position_embeddings=hf_cfg.max_position_embeddings,
-        layer_norm_eps=hf_cfg.layer_norm_eps,
+        hidden_act=getattr(hf_cfg, "hidden_act", "gelu"),
+        max_position_embeddings=getattr(hf_cfg, "max_position_embeddings", 512),
+        layer_norm_eps=getattr(hf_cfg, "layer_norm_eps", 1e-7),
         pad_token_id=getattr(hf_cfg, "pad_token_id", 0) or 0,
         relative_attention=getattr(hf_cfg, "relative_attention", False),
         position_buckets=getattr(hf_cfg, "position_buckets", -1),
         max_relative_positions=getattr(hf_cfg, "max_relative_positions", -1),
-        pos_att_type=tuple(getattr(hf_cfg, "pos_att_type", None) or ()),
+        pos_att_type=tuple(pos_att),
         share_att_key=getattr(hf_cfg, "share_att_key", False),
         norm_rel_ebd=getattr(hf_cfg, "norm_rel_ebd", "none"),
         position_biased_input=getattr(hf_cfg, "position_biased_input", True),
         conv_kernel_size=getattr(hf_cfg, "conv_kernel_size", 0) or 0,
         conv_act=getattr(hf_cfg, "conv_act", "tanh") or "tanh",
+    )
+
+
+def backbone_config_from_hf_dict(enc: Mapping[str, Any]) -> BackboneConfig:
+    """Nested ``encoder_config`` dict (as serialized inside a published HF
+    gliclass ``config.json``) -> BackboneConfig.
+
+    The real checkpoints embed the full transformers config of the encoder
+    under ``encoder_config`` with a ``model_type`` discriminator (the composite
+    config the reference's exporter loads via ``GLiClassModel.from_pretrained``,
+    reference ONNX_CONVERTING/convert_to_onnx.py:48-52). Dispatch on
+    ``model_type`` and reuse the attribute-based converters via a namespace
+    wrapper — no transformers import needed."""
+    from types import SimpleNamespace
+
+    model_type = enc.get("model_type", "deberta-v2")
+    ns = SimpleNamespace(**{k: v for k, v in enc.items() if v is not None})
+    if model_type == "deberta-v2":
+        return backbone_config_from_hf(ns)
+    if model_type in ("llama", "qwen2"):
+        return llama_config_from_hf(ns, model_type)
+    raise ValueError(
+        f"unsupported encoder_config model_type: {model_type!r} "
+        "(supported: deberta-v2, llama, qwen2)"
     )

@@ -85,7 +85,7 @@ def convert_checkpoint_dir(
     import dataclasses
 
     from .config import GLiClassConfig
-    from .convert.convert import export_bundle
+    from .convert.convert import export_bundle, load_checkpoint_state_dict
     from .convert.torch_ref import build_torch_gliclass
     from .tokenization import PromptTokenizer
 
@@ -95,10 +95,21 @@ def convert_checkpoint_dir(
 
     tok = PromptTokenizer.from_file(os.path.join(ckpt_dir, "tokenizer.json"))
     if cfg.class_token_index < 0:
+        if tok.label_token_id is None or tok.sep_token_id is None:
+            raise ValueError(
+                "config has no class/text_token_index and the tokenizer does "
+                "not define <<LABEL>>/<<SEP>> — not a GLiClass checkpoint?"
+            )
         cfg = dataclasses.replace(
             cfg,
             class_token_index=tok.label_token_id,
             text_token_index=tok.sep_token_id,
+        )
+    elif tok.label_token_id is not None and tok.label_token_id != cfg.class_token_index:
+        raise ValueError(
+            f"tokenizer <<LABEL>> id {tok.label_token_id} != config "
+            f"class_token_index {cfg.class_token_index}: tokenizer.json does "
+            "not belong to this checkpoint"
         )
 
     model = build_torch_gliclass(cfg)
@@ -114,5 +125,7 @@ def convert_checkpoint_dir(
         sd = torch.load(pt, map_location="cpu", weights_only=True)
     else:
         raise FileNotFoundError(f"no weights file in {ckpt_dir}")
-    model.load_state_dict(sd, strict=False)
+    # Strict, prefix-aware loading: errors on zero-matched or mismatched keys
+    # instead of silently baking random-init goldens into the bundle.
+    load_checkpoint_state_dict(model, sd)
     export_bundle(model, cfg, tok, bundle_path, quantize=quantize)

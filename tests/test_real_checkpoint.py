@@ -1,0 +1,265 @@
+"""Real published-checkpoint path: HF gliclass config schema + strict weights.
+
+The published knowledgator/gliclass-* checkpoints ship a composite HF config
+(model_type "GLiClass", full transformers encoder config nested under
+"encoder_config") and a state dict whose keys sit under the GLiClassModel
+wrapper's ``model.`` prefix. The reference consumes these through the gliclass
+package (reference ONNX_CONVERTING/convert_to_onnx.py:48-62,
+run_GLiClass.sh:84-89); this suite pins our schema translation and the
+fail-loud weight loader against fixtures using the published key names.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from gliclass.c_tpu.config import GLiClassConfig
+from gliclass.c_tpu.fetch import convert_checkpoint_dir
+
+
+def _hf_base_config() -> dict:
+    """A faithful miniature of knowledgator/gliclass-base-v1.0's config.json:
+    same schema and field names, tiny geometry."""
+    return {
+        "architecture_type": "uni-encoder",
+        "architectures": ["GLiClassModel"],
+        "class_token_index": 4,
+        "contrastive_loss_coef": 0,
+        "encoder_config": {
+            "_name_or_path": "microsoft/deberta-v3-base",
+            "model_type": "deberta-v2",
+            "attention_probs_dropout_prob": 0.1,
+            "hidden_act": "gelu",
+            "hidden_dropout_prob": 0.1,
+            "hidden_size": 32,
+            "initializer_range": 0.02,
+            "intermediate_size": 64,
+            "layer_norm_eps": 1e-07,
+            "max_position_embeddings": 64,
+            "max_relative_positions": -1,
+            "norm_rel_ebd": "layer_norm",
+            "num_attention_heads": 4,
+            "num_hidden_layers": 2,
+            "pad_token_id": 0,
+            "pooler_dropout": 0,
+            "pooler_hidden_act": "gelu",
+            "pooler_hidden_size": 32,
+            "pos_att_type": ["p2c", "c2p"],
+            "position_biased_input": False,
+            "position_buckets": 16,
+            "relative_attention": True,
+            "share_att_key": True,
+            "type_vocab_size": 0,
+            "vocab_size": 600,
+        },
+        "encoder_model_name": "microsoft/deberta-v3-base",
+        "extract_text_features": False,
+        "focal_loss_alpha": -1,
+        "focal_loss_gamma": -1,
+        "hidden_size": 32,
+        "ignore_index": -100,
+        "initializer_range": 0.03,
+        "logit_scale_init_value": 2.6592,
+        "max_num_classes": 25,
+        "model_type": "GLiClass",
+        "normalize_features": False,
+        "pooling_strategy": "first",
+        "problem_type": "multi_label_classification",
+        "projector_hidden_act": "gelu",
+        "prompt_first": False,
+        "scorer_type": "simple",
+        "squeeze_layers": False,
+        "text_token_index": 5,
+        "torch_dtype": "float32",
+        "use_lstm": False,
+        "vocab_size": 600,
+    }
+
+
+class TestHFConfigSchema:
+    def test_deberta_geometry_translates(self):
+        cfg = GLiClassConfig.from_dict(_hf_base_config())
+        bb = cfg.backbone
+        assert bb.model_type == "deberta-v2"
+        assert (bb.hidden_size, bb.num_hidden_layers, bb.num_attention_heads) == (32, 2, 4)
+        assert bb.intermediate_size == 64 and bb.vocab_size == 600
+        assert bb.relative_attention and bb.share_att_key
+        assert bb.pos_att_type == ("p2c", "c2p")
+        assert bb.position_buckets == 16
+        assert bb.norm_rel_ebd == "layer_norm"
+        assert not bb.position_biased_input
+        assert cfg.architecture_type == "uni-encoder"
+        assert cfg.prompt_first is False  # gliclass-package default
+        assert cfg.class_token_index == 4 and cfg.text_token_index == 5
+        assert cfg.scorer_type == "simple" and cfg.pooling_strategy == "first"
+        assert cfg.hidden_size == 32 and cfg.max_num_classes == 25
+
+    def test_pos_att_type_pipe_string_form(self):
+        d = _hf_base_config()
+        d["encoder_config"]["pos_att_type"] = "p2c|c2p"
+        assert GLiClassConfig.from_dict(d).backbone.pos_att_type == ("p2c", "c2p")
+
+    def test_null_hidden_size_falls_back_to_encoder(self):
+        d = _hf_base_config()
+        d["hidden_size"] = None
+        assert GLiClassConfig.from_dict(d).hidden_size == 32
+
+    def test_llama_encoder_config(self):
+        d = _hf_base_config()
+        d["encoder_config"] = {
+            "model_type": "llama",
+            "vocab_size": 600,
+            "hidden_size": 32,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "num_key_value_heads": 2,
+            "intermediate_size": 64,
+            "max_position_embeddings": 128,
+            "rope_theta": 10000.0,
+            "rms_norm_eps": 1e-6,
+        }
+        bb = GLiClassConfig.from_dict(d).backbone
+        assert bb.model_type == "llama"
+        assert bb.num_key_value_heads == 2 and bb.hidden_size == 32
+
+    def test_qwen2_encoder_config_gets_attention_bias(self):
+        d = _hf_base_config()
+        d["encoder_config"] = {
+            "model_type": "qwen2",
+            "vocab_size": 600,
+            "hidden_size": 32,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "intermediate_size": 64,
+        }
+        bb = GLiClassConfig.from_dict(d).backbone
+        assert bb.model_type == "qwen2" and bb.attention_bias
+
+    def test_rejects_non_uni_encoder(self):
+        # mirrors reference ONNX_CONVERTING/convert_to_onnx.py:48-52
+        d = _hf_base_config()
+        d["architecture_type"] = "bi-encoder"
+        with pytest.raises(ValueError, match="uni-encoder"):
+            GLiClassConfig.from_dict(d)
+
+    def test_rejects_missing_encoder_config(self):
+        d = _hf_base_config()
+        d["encoder_config"] = None
+        with pytest.raises(ValueError, match="encoder_config"):
+            GLiClassConfig.from_dict(d)
+
+    def test_rejects_unknown_encoder_model_type(self):
+        d = _hf_base_config()
+        d["encoder_config"] = {"model_type": "bert", "vocab_size": 600}
+        with pytest.raises(ValueError, match="model_type"):
+            GLiClassConfig.from_dict(d)
+
+    def test_bundle_config_roundtrip_still_works(self):
+        # our own bundle schema ("backbone" key) must not hit the HF branch
+        cfg = GLiClassConfig.from_dict(_hf_base_config())
+        again = GLiClassConfig.from_json(cfg.to_json())
+        assert again == dataclasses.replace(cfg)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: fake published checkpoint dir -> bundle -> golden selftest
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def real_schema_ckpt(tiny_tokenizer_file, tmp_path_factory):
+    """Checkpoint dir shaped exactly like a hub snapshot of a published
+    gliclass model: composite config.json, tokenizer.json, and a safetensors
+    whose keys carry the GLiClassModel wrapper's ``model.`` prefix."""
+    import shutil
+
+    import torch
+    from safetensors.torch import save_file
+
+    from gliclass.c_tpu.convert.torch_ref import build_torch_gliclass
+    from gliclass.c_tpu.tokenization import PromptTokenizer
+
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    d = _hf_base_config()
+    d["class_token_index"] = tok.label_token_id
+    d["text_token_index"] = tok.sep_token_id
+
+    cfg = GLiClassConfig.from_dict(d)
+    model = build_torch_gliclass(cfg, seed=7)
+    sd = {
+        f"model.{k}": v.contiguous()
+        for k, v in model.state_dict().items()
+    }
+
+    ckpt = tmp_path_factory.mktemp("real_ckpt")
+    (ckpt / "config.json").write_text(json.dumps(d))
+    save_file(sd, str(ckpt / "model.safetensors"))
+    shutil.copy(tiny_tokenizer_file, ckpt / "tokenizer.json")
+    return str(ckpt)
+
+
+def test_convert_real_schema_checkpoint(real_schema_ckpt, tmp_path):
+    from gliclass.c_tpu.cli import main
+    from gliclass.c_tpu.convert import bundle as B
+
+    out = str(tmp_path / "bundle")
+    convert_checkpoint_dir(
+        real_schema_ckpt, out, "knowledgator/gliclass-test", quantize=False
+    )
+    cfg = B.load_config(out)
+    assert cfg.original_model_name == "knowledgator/gliclass-test"
+    assert cfg.backbone.num_hidden_layers == 2
+    # golden logits recorded from the loaded (not random-init) weights must
+    # reproduce through the JAX engine: the reference's golden-logit gate
+    # (reference ONNX_CONVERTING/test_onnx.py:25-31,72-74)
+    rc = main(["selftest", "--bundle", out, "--dtype", "float32", "--max-length", "64"])
+    assert rc == 0
+
+
+def test_wrong_prefix_errors_not_silent(real_schema_ckpt, tmp_path):
+    """The round-1 failure mode: a key-prefix mismatch must raise, never load
+    zero weights silently."""
+    import shutil
+
+    from safetensors.torch import load_file, save_file
+
+    bad = tmp_path / "bad_ckpt"
+    bad.mkdir()
+    shutil.copy(f"{real_schema_ckpt}/config.json", bad / "config.json")
+    shutil.copy(f"{real_schema_ckpt}/tokenizer.json", bad / "tokenizer.json")
+    sd = load_file(f"{real_schema_ckpt}/model.safetensors")
+    save_file({f"gliclass.{k}": v for k, v in sd.items()}, str(bad / "model.safetensors"))
+    with pytest.raises(ValueError, match="missing parameters"):
+        convert_checkpoint_dir(str(bad), str(tmp_path / "b"), "x", quantize=False)
+
+
+def test_shape_mismatch_errors(real_schema_ckpt, tmp_path):
+    import shutil
+
+    import torch
+    from safetensors.torch import load_file, save_file
+
+    bad = tmp_path / "bad_ckpt2"
+    bad.mkdir()
+    shutil.copy(f"{real_schema_ckpt}/config.json", bad / "config.json")
+    shutil.copy(f"{real_schema_ckpt}/tokenizer.json", bad / "tokenizer.json")
+    sd = dict(load_file(f"{real_schema_ckpt}/model.safetensors"))
+    key = "model.text_projector.linear_1.weight"
+    sd[key] = torch.zeros(3, 3)
+    save_file(sd, str(bad / "model.safetensors"))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        convert_checkpoint_dir(str(bad), str(tmp_path / "b"), "x", quantize=False)
+
+
+def test_mismatched_tokenizer_errors(real_schema_ckpt, tmp_path):
+    import shutil
+
+    bad = tmp_path / "bad_tok"
+    bad.mkdir()
+    cfg = json.load(open(f"{real_schema_ckpt}/config.json"))
+    cfg["class_token_index"] = cfg["class_token_index"] + 1  # wrong vocab slot
+    (bad / "config.json").write_text(json.dumps(cfg))
+    shutil.copy(f"{real_schema_ckpt}/tokenizer.json", bad / "tokenizer.json")
+    shutil.copy(f"{real_schema_ckpt}/model.safetensors", bad / "model.safetensors")
+    with pytest.raises(ValueError, match="tokenizer"):
+        convert_checkpoint_dir(str(bad), str(tmp_path / "b"), "x", quantize=False)

@@ -139,7 +139,8 @@ def cmd_serve(args) -> int:
     tokenizer = PromptTokenizer.from_file(B.tokenizer_path(bundle_path))
     server = GLiClassServer(
         engine, tokenizer, runtime, host=args.host, port=args.port,
-        max_wait_ms=args.max_wait_ms,
+        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
+        result_timeout_s=args.result_timeout_s,
     )
     print(f"serving {engine.cfg.original_model_name} on "
           f"http://{args.host}:{server.port} (POST /classify)")
@@ -233,11 +234,22 @@ def main(argv=None) -> int:
     p_fetch.set_defaults(fn=cmd_fetch)
 
     p_serve = sub.add_parser("serve", help="HTTP serving with continuous batching")
-    p_serve.add_argument("--host", default="0.0.0.0")
+    p_serve.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address; use 0.0.0.0 (behind a proxy) to expose externally",
+    )
     p_serve.add_argument("--port", type=int, default=8000)
     p_serve.add_argument(
         "--max-wait-ms", type=float, default=5.0,
         help="micro-batch fill window before dispatching a partial batch",
+    )
+    p_serve.add_argument(
+        "--max-pending", type=int, default=4096,
+        help="bounded request queue depth; beyond it requests get HTTP 429",
+    )
+    p_serve.add_argument(
+        "--result-timeout-s", type=float, default=120.0,
+        help="per-request wait on the scheduler before a 500",
     )
     _add_runtime_flags(p_serve)
     p_serve.set_defaults(fn=cmd_serve)

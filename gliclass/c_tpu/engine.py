@@ -149,8 +149,8 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _pad_batch(self, batch: TokenizedBatch) -> tuple[np.ndarray, np.ndarray, int]:
-        """Pad the batch dim up to a multiple of (dp * batch_size) rows so the
-        data axis divides evenly; padded rows are fully masked."""
+        """Pad the batch dim up to a multiple of dp rows so the data axis
+        divides evenly; padded rows are fully masked."""
         n = batch.batch_size
         dp = self.mesh.shape[DATA_AXIS]
         step = max(dp, 1)

@@ -232,10 +232,17 @@ def disentangled_attention(
         and key_mask is not None
         and set(cfg.pos_att_type) == {"c2p", "p2c"}
     ):
-        from ..ops.fused_attention import fusable, fused_disentangled_attention
+        from ..ops.fused_attention import (
+            _use_flash,
+            fusable,
+            fused_disentangled_attention,
+        )
 
         S = x.shape[-2]
-        if fusable(S, cfg.head_dim, compute_dtype):
+        # _use_flash is checked here too (not only inside the fused call) so
+        # GLICLASS_TPU_FLASH_ATTN=1 engages at any flash-compatible S, not
+        # just where the whole-row kernel is already routed (S >= 512).
+        if fusable(S, cfg.head_dim, compute_dtype) or _use_flash(S):
             pos_q_flat, pos_k_flat = _pos_qk()
             pos_k = _split_heads(pos_k_flat, nh)
             pos_q = _split_heads(pos_q_flat, nh)

@@ -220,6 +220,17 @@ class _Request:
     future: Future = field(default_factory=Future)
 
 
+class SchedulerOverloaded(RuntimeError):
+    """Raised by submit() when the bounded request queue is full — the
+    backpressure signal (serving maps it to HTTP 429)."""
+
+
+class SchedulerClosed(RuntimeError):
+    """Raised by submit() after close(), and set on any request still queued
+    at close() time, so no caller ever blocks on a Future that can no longer
+    be fulfilled."""
+
+
 class StreamingScheduler:
     """Continuous-batching request scheduler for serving.
 
@@ -227,6 +238,11 @@ class StreamingScheduler:
     them (up to ``runtime.batch_size``, waiting at most ``max_wait_ms`` for the
     batch to fill), groups by shape bucket, executes on the engine, and
     fulfils each request's Future exactly once.
+
+    ``max_pending`` bounds the request queue: submit() raises
+    :class:`SchedulerOverloaded` instead of queueing unboundedly (the
+    reference, a batch binary, had no such concern; a long-running service
+    needs backpressure).
     """
 
     def __init__(
@@ -235,27 +251,51 @@ class StreamingScheduler:
         tokenizer: PromptTokenizer,
         runtime: RuntimeConfig | None = None,
         max_wait_ms: float = 5.0,
+        max_pending: int = 4096,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.runtime = runtime or RuntimeConfig()
         self.max_wait_s = max_wait_ms / 1e3
-        self._q: queue.Queue[_Request | None] = queue.Queue()
+        self._q: queue.Queue[_Request | None] = queue.Queue(maxsize=max_pending)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
         self._thread.start()
 
     def submit(self, text: str, labels: Sequence[str], prompt_first: bool) -> Future:
         """Returns a Future resolving to probs np.ndarray [len(labels)]."""
+        if not self._running:
+            raise SchedulerClosed("scheduler is closed")
         prompt = pack_prompt(text, labels, prompt_first)
         req = _Request(prompt, len(labels))
-        self._q.put(req)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            raise SchedulerOverloaded(
+                f"request queue full ({self._q.maxsize} pending)"
+            ) from None
         return req.future
 
     def close(self):
+        """Stop the dispatcher and fail every request still in the queue.
+
+        In-flight batches finish and fulfil their futures; queued-but-unstarted
+        requests get :class:`SchedulerClosed` so callers blocked on
+        ``future.result()`` wake immediately instead of hitting their timeout.
+        """
         self._running = False
-        self._q.put(None)
+        try:
+            self._q.put(None, timeout=5)
+        except queue.Full:
+            pass  # loop is draining; it re-checks _running every batch
         self._thread.join(timeout=30)
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                r.future.set_exception(SchedulerClosed("scheduler closed"))
 
     # ------------------------------------------------------------------
     def _collect(self) -> list[_Request]:

@@ -19,8 +19,12 @@ API (JSON in / JSON out):
     GET  /healthz -> {"status": "ok", "model": ...}
     GET  /metrics -> {"requests", "texts", "errors", "uptime_s"}
 
-Stdlib-only by design (no extra deps in the serving image); for TLS or auth
-put it behind a reverse proxy.
+Robustness guards (the reference is a one-shot batch binary with none of
+these concerns): request bodies above MAX_BODY_BYTES get 413; a full scheduler
+queue (``max_pending``) gets 429 (backpressure, not unbounded memory); label
+lists beyond the bundle's ``max_num_classes`` get 400; requests caught by
+shutdown get 503. The listener binds 127.0.0.1 by default — for TLS, auth or
+public exposure put it behind a reverse proxy.
 """
 
 from __future__ import annotations
@@ -32,9 +36,18 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .config import RuntimeConfig
 from .engine import InferenceEngine
-from .parallel.scheduler import StreamingScheduler
+from .parallel.scheduler import (
+    SchedulerClosed,
+    SchedulerOverloaded,
+    StreamingScheduler,
+)
 from .postprocess import decide_batch
 from .tokenization import PromptTokenizer
+
+# In-process request-body cap: a single oversized Content-Length must not be
+# able to allocate unbounded memory (413 beyond this). A classify body is
+# text + labels; 8 MiB is far above any sane job chunk.
+MAX_BODY_BYTES = 8 << 20
 
 
 class ServingMetrics:
@@ -96,18 +109,23 @@ class GLiClassServer:
         engine: InferenceEngine,
         tokenizer: PromptTokenizer,
         runtime: RuntimeConfig | None = None,
-        host: str = "0.0.0.0",
+        host: str = "127.0.0.1",
         port: int = 8000,
         max_wait_ms: float = 5.0,
+        max_pending: int = 4096,
+        result_timeout_s: float = 120.0,
     ):
         self.runtime = runtime or engine.runtime
         self.scheduler = StreamingScheduler(
-            engine, tokenizer, self.runtime, max_wait_ms=max_wait_ms
+            engine, tokenizer, self.runtime,
+            max_wait_ms=max_wait_ms, max_pending=max_pending,
         )
         self.metrics = ServingMetrics()
         self.model_name = engine.cfg.original_model_name
         self.prompt_first = engine.cfg.prompt_first
         self.default_threshold = self.runtime.threshold
+        self.max_num_classes = engine.cfg.max_num_classes
+        self.result_timeout_s = result_timeout_s
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -137,9 +155,19 @@ class GLiClassServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > MAX_BODY_BYTES:
+                        server.metrics.record(error=True)
+                        self._send(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
+                        return
                     body = json.loads(self.rfile.read(n) or b"{}")
                     result = server.classify(body)
                     self._send(200, result)
+                except SchedulerOverloaded as e:  # backpressure: shed load
+                    server.metrics.record(error=True)
+                    self._send(429, {"error": str(e)})
+                except SchedulerClosed:
+                    server.metrics.record(error=True)
+                    self._send(503, {"error": "server shutting down"})
                 except ValueError as e:
                     server.metrics.record(error=True)
                     self._send(400, {"error": str(e)})
@@ -156,6 +184,17 @@ class GLiClassServer:
         import numpy as np
 
         texts, labels, same_labels, ctype, threshold = _parse_classify(body)
+        counts = [
+            len(labels[0]) if same_labels else len(labels[i])
+            for i in range(len(texts))
+        ]
+        if max(counts) > self.max_num_classes:
+            # the bundle records the model's trained label capacity
+            # (gliclass-package max_num_classes); beyond it scores are garbage
+            raise ValueError(
+                f"{max(counts)} labels exceeds the model's max_num_classes "
+                f"({self.max_num_classes}); split the label set across requests"
+            )
         futs = [
             self.scheduler.submit(
                 t,
@@ -164,14 +203,10 @@ class GLiClassServer:
             )
             for i, t in enumerate(texts)
         ]
-        counts = [
-            len(labels[0]) if same_labels else len(labels[i])
-            for i in range(len(texts))
-        ]
         maxw = max(counts)
         probs = np.zeros((len(texts), maxw), dtype=np.float32)
         for i, f in enumerate(futs):
-            p = f.result(timeout=120)
+            p = f.result(timeout=self.result_timeout_s)
             probs[i, : len(p)] = p
         results = decide_batch(
             probs,
@@ -196,8 +231,12 @@ class GLiClassServer:
         self.httpd.serve_forever()
 
     def close(self):
+        """Shutdown order matters: stop accepting new connections first, then
+        close the scheduler — which fails every still-queued request's Future
+        (SchedulerClosed) so handler threads blocked in classify() wake
+        immediately instead of hanging until result_timeout_s."""
         self.httpd.shutdown()
-        self.httpd.server_close()
+        self.scheduler.close()
         if self._thread is not None:
             self._thread.join(timeout=10)
-        self.scheduler.close()
+        self.httpd.server_close()

@@ -61,6 +61,10 @@ def gliclass_step_cost(
     einsums; the whole-row fused kernel at S = 512 replaces table traffic with
     in-kernel window matmuls of the same einsum FLOPs.
     """
+    # Single source of truth for the attention-path routing threshold — the
+    # cost model must price the path models/deberta.py actually takes.
+    from ..models.deberta import _TABLE_SKEW_MAX_SEQ
+
     bb = cfg.backbone
     H, I, L = bb.hidden_size, bb.intermediate_size, bb.num_hidden_layers
     h, d = bb.num_attention_heads, bb.head_dim
@@ -81,7 +85,7 @@ def gliclass_step_cost(
         # position projections of the [2K, H] bucket table (pos_q + pos_k)
         K2 = 2 * (bb.position_buckets if bb.position_buckets > 0 else S)
         c.flops["pos_proj"] = L * 2 * 2 * K2 * H * H
-        if S <= 384:  # table-skew path: one-hot skew matmul builds [h,d,S,S]
+        if S <= _TABLE_SKEW_MAX_SEQ:  # table-skew path: one-hot skew matmul
             c.flops["table_skew"] = L * 2 * (h * d) * W * S * S
     # head: projector (2 matmuls H->H) over label+text slots is negligible vs
     # the encoder; count the two projector matmuls over all tokens as an upper
@@ -92,7 +96,7 @@ def gliclass_step_cost(
     c.hbm_bytes["weights"] = L * (4 * H * H + 2 * H * I) * wbytes
     # residual stream: read+write per fused block, ~4 passes per layer
     c.hbm_bytes["activations"] = L * 4 * 2 * M * H * act
-    if bb.relative_attention and S <= 384:
+    if bb.relative_attention and S <= _TABLE_SKEW_MAX_SEQ:
         # [B,h,S,S] score tensors: scores write, softmax r+w, probs read (~4x)
         c.hbm_bytes["score_tensors"] = L * 4 * B * h * S * S * act
         # [h,d,S,S] table write + read by the bias einsum

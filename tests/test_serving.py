@@ -150,3 +150,116 @@ def test_metrics(server):
     srv, _ = server
     m = _get(srv.port, "/metrics")
     assert m["requests"] > 0 and m["texts"] > 0 and m["errors"] >= 4
+
+
+def test_oversized_body_rejected_413(server):
+    srv, _ = server
+    from gliclass.c_tpu.serving import MAX_BODY_BYTES
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/classify",
+        data=b"x",
+        headers={
+            "Content-Type": "application/json",
+            "Content-Length": str(MAX_BODY_BYTES + 1),
+        },
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 413
+
+
+def test_max_num_classes_enforced(server):
+    srv, _ = server
+    # the tiny bundle's config keeps the gliclass default max_num_classes=25
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.port, "/classify", {
+            "texts": ["x"], "labels": [f"label{i}" for i in range(26)],
+        })
+    assert e.value.code == 400
+    assert "max_num_classes" in json.loads(e.value.read())["error"]
+
+
+def _tiny_engine_and_tok(tiny_tokenizer_file):
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    bb = BackboneConfig(
+        model_type="deberta-v2", vocab_size=600, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, position_buckets=16,
+        norm_rel_ebd="layer_norm", share_att_key=True,
+        position_biased_input=False,
+    )
+    cfg = GLiClassConfig(
+        hidden_size=32, class_token_index=tok.label_token_id,
+        text_token_index=tok.sep_token_id, prompt_first=True, backbone=bb,
+    )
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    return InferenceEngine(cfg, params, RT), tok
+
+
+def test_load_no_request_lost_or_doubled_under_pressure(tiny_tokenizer_file):
+    """N threads x M requests against a server with a tiny bounded queue:
+    every request gets exactly one terminal answer — 200 with its own text
+    echoed back, or 429/503 shed — and none hangs."""
+    engine, tok = _tiny_engine_and_tok(tiny_tokenizer_file)
+    srv = GLiClassServer(
+        engine, tok, RT, host="127.0.0.1", port=0, max_pending=8,
+        result_timeout_s=60,
+    )
+    srv.start()
+    N, M = 6, 5
+    outcomes = {}
+    lock = threading.Lock()
+
+    def worker(t):
+        for m in range(M):
+            key = f"req {t} {m}"
+            try:
+                r = _post(srv.port, "/classify", {
+                    "texts": [key], "labels": ["a", "b"], "threshold": 0.0,
+                })
+                ok = r["results"][0]["text"] == key and len(r["results"]) == 1
+                code = 200 if ok else -1
+            except urllib.error.HTTPError as e:
+                code = e.code
+            with lock:
+                assert key not in outcomes, f"double answer for {key}"
+                outcomes[key] = code
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(N)]
+    [t.start() for t in threads]
+    [t.join(timeout=300) for t in threads]
+    assert not any(t.is_alive() for t in threads), "a request hung"
+    srv.close()
+    assert len(outcomes) == N * M
+    assert all(c in (200, 429, 503) for c in outcomes.values()), outcomes
+    assert sum(c == 200 for c in outcomes.values()) >= 1
+
+
+def test_close_wakes_blocked_handlers_fast(tiny_tokenizer_file):
+    """Scheduler close() must fail queued futures so a caller blocked on
+    result() wakes promptly (ADVICE: in-flight requests used to hang until
+    the 120 s timeout)."""
+    import time
+
+    from gliclass.c_tpu.parallel.scheduler import (
+        SchedulerClosed,
+        StreamingScheduler,
+    )
+
+    engine, tok = _tiny_engine_and_tok(tiny_tokenizer_file)
+    sched = StreamingScheduler(engine, tok, RT, max_wait_ms=2000.0)
+    # first submit occupies the collect window; pile more behind it
+    futs = [sched.submit(f"text {i}", ["a", "b"], True) for i in range(12)]
+    t0 = time.monotonic()
+    sched.close()
+    for f in futs:
+        try:
+            f.result(timeout=30)  # either computed before close, or failed
+        except SchedulerClosed:
+            pass
+    assert time.monotonic() - t0 < 30
+    # post-close submits are refused outright
+    with pytest.raises(SchedulerClosed):
+        sched.submit("late", ["a"], True)

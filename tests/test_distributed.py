@@ -1,0 +1,110 @@
+"""Multi-host bootstrap: two real processes over jax.distributed on CPU.
+
+SURVEY §4 prescribes testing multi-host paths without a pod via
+``jax.distributed`` CPU multiprocess + forced host-platform device counts.
+These tests spawn two actual Python processes that bootstrap through
+``parallel.distributed.initialize_from_env`` (the same entry a pod-slice
+launcher uses), see each other's devices, and run a cross-process psum —
+the collective rides the distributed runtime exactly as it would ride
+ICI/DCN on hardware (reference has no distributed backend at all; SURVEY §2).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Child process body: bootstrap -> assert topology -> cross-host collective.
+_CHILD = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from gliclass.c_tpu.parallel.distributed import initialize_from_env, process_info
+
+assert initialize_from_env(), "env vars present but initialize_from_env returned False"
+info = process_info()
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 2 * info["local_devices"], info
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devs = np.array(jax.devices())
+mesh = Mesh(devs, ("data",))
+
+# One shard per global device, filled with this process's index + 1; the
+# jitted sum needs a cross-process psum (gloo on CPU, ICI/DCN on TPU).
+def make_shard(idx):
+    return np.full((1,), float(jax.process_index() + 1), dtype=np.float32)
+
+sharding = NamedSharding(mesh, P("data"))
+x = jax.make_array_from_callback((len(devs),), sharding, make_shard)
+total = jax.jit(lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P()))(x)
+n_local = info["local_devices"]
+expect = n_local * 1.0 + n_local * 2.0  # procs contribute (pid+1) per local device
+got = float(np.asarray(total))
+assert got == expect, (got, expect)
+print(f"CHILD_OK pid={jax.process_index()} sum={got}", flush=True)
+"""
+
+
+def test_two_process_bootstrap_and_psum(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            PYTHONPATH=REPO,
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _CHILD],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                cwd=str(tmp_path),  # not the repo root: catch path assumptions
+            )
+        )
+
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed child process hung")
+        outs.append((p.returncode, out, err))
+
+    for rc, out, err in outs:
+        assert rc == 0, f"child failed (rc={rc})\nstdout:\n{out}\nstderr:\n{err}"
+        assert "CHILD_OK" in out, out
+    # both processes agree on the global reduction
+    sums = {line.split("sum=")[1] for rc, out, _ in outs for line in out.splitlines() if "CHILD_OK" in line}
+    assert len(sums) == 1
+
+
+def test_initialize_from_env_noop_without_vars(monkeypatch):
+    """Single-process mode: no env vars -> no distributed init, no error."""
+    for k in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",
+              "GLICLASS_TPU_AUTO_DISTRIBUTED"):
+        monkeypatch.delenv(k, raising=False)
+    from gliclass.c_tpu.parallel.distributed import initialize_from_env
+
+    assert initialize_from_env() is False

@@ -128,6 +128,7 @@ class ZeroShotClassificationPipeline:
             classification_type,
             self.runtime.threshold if threshold is None else threshold,
             num_valid=counts,
+            use_native=self.runtime.use_native_host_ops,
         )
 
     # ------------------------------------------------------------------
@@ -147,5 +148,6 @@ class ZeroShotClassificationPipeline:
                 job.classification_type,
                 self.runtime.threshold,
                 num_valid=counts,
+                use_native=self.runtime.use_native_host_ops,
             )
         return JobOutput(results, probs, format_report(results), timer.to_dict())

@@ -100,6 +100,15 @@ def decide_row(
         )
 
 
+# The C++ decision scan (native/host_ops.cpp gct_decide_*) avoids numpy's
+# fixed per-op overhead, which dominates at serving micro-batch sizes:
+# measured on the 2-CPU host (multi-label) native is 1.87x at B=64 C=16,
+# 1.04x at 256x32, then 0.92-1.02x at 1024x64+ where the python LabelScore
+# assembly dominates both paths. Use native below this cell count (the
+# latency-sensitive serving batches), numpy above.
+_NATIVE_DECIDE_MAX_CELLS = 16384
+
+
 def decide_batch(
     probs: np.ndarray,
     texts: Sequence[str],
@@ -109,11 +118,16 @@ def decide_batch(
     threshold: float,
     num_valid: Sequence[int] | None = None,
     text_offset: int = 0,
+    use_native: bool = True,
 ) -> list[TextResult]:
     """Decisions for a [B, C] probability matrix.
 
     Label lookup mirrors the reference: ``labels[0]`` when ``same_labels`` else
     ``labels[i]`` (reference src/postprocessor.c:96-105,130-139).
+
+    ``use_native``: allow the threaded C++ decision kernels for large
+    matrices (plumbed from ``RuntimeConfig.use_native_host_ops``); the numpy
+    path is the canonical-semantics fallback either way.
     """
     probs = np.asarray(probs, dtype=np.float32)
     B, C = probs.shape
@@ -131,27 +145,50 @@ def decide_batch(
             [len(labels[0] if same_labels else labels[i]) for i in range(B)],
             dtype=np.int64,
         )
-    # Columns the reference would scan: all C (it trusts the model width);
-    # nv only masks engine-side padded slots.
-    valid = np.arange(C)[None, :] < np.maximum(nv, 0)[:, None]
+
+    native = None
+    if use_native and B * C <= _NATIVE_DECIDE_MAX_CELLS:
+        from . import native_ops
+
+        if native_ops.available():
+            native = native_ops
 
     results = []
     if classification_type == MULTI_LABEL:
-        passing = (probs > threshold) & valid  # strict > (postprocessor.c:95)
-        rows, cols = np.nonzero(passing)
+        if native is not None:
+            out = native.decide_multilabel_native(probs, threshold, nv)
+        else:
+            out = None
+        if out is not None:
+            rows, cols, scores = out
+            cols_l, scores_l = cols.tolist(), scores.tolist()
+            rows_l = rows.tolist()
+        else:
+            # Columns the reference would scan: all C (it trusts the model
+            # width); nv only masks engine-side padded slots.
+            valid = np.arange(C)[None, :] < np.maximum(nv, 0)[:, None]
+            passing = (probs > threshold) & valid  # strict > (postprocessor.c:95)
+            rows, cols = np.nonzero(passing)
+            rows_l, cols_l = rows.tolist(), cols.tolist()
+            scores_l = probs[rows, cols].tolist()
         per_row: list[list[LabelScore]] = [[] for _ in range(B)]
-        for r, c in zip(rows.tolist(), cols.tolist()):
+        for r, c, p in zip(rows_l, cols_l, scores_l):
             ls = labels[0] if same_labels else labels[r]
             label = ls[c] if c < len(ls) else UNKNOWN_LABEL
-            per_row[r].append(LabelScore(label, float(probs[r, c]), c))
+            per_row[r].append(LabelScore(label, float(p), c))
         for i, text in enumerate(texts):
             results.append(TextResult(text_offset + i, text, tuple(per_row[i])))
     else:
-        masked = np.where(valid, probs, 0.0)
-        best = masked.argmax(axis=1)  # first max wins ties, like the strict scan
-        best_p = masked[np.arange(B), best]
-        # reference: max_prob starts at 0.0 -> all-zero rows keep max_idx=-1
-        best = np.where(best_p > 0.0, best, -1)
+        out = native.decide_single_native(probs, nv) if native is not None else None
+        if out is not None:
+            best, best_p = out
+        else:
+            valid = np.arange(C)[None, :] < np.maximum(nv, 0)[:, None]
+            masked = np.where(valid, probs, 0.0)
+            best = masked.argmax(axis=1)  # first max wins ties, like the strict scan
+            best_p = masked[np.arange(B), best]
+            # reference: max_prob starts at 0.0 -> all-zero rows keep max_idx=-1
+            best = np.where(best_p > 0.0, best, -1)
         for i, text in enumerate(texts):
             ls = labels[0] if same_labels else labels[i]
             idx = int(best[i])

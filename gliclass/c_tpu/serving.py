@@ -216,6 +216,7 @@ class GLiClassServer:
             ctype,
             self.default_threshold if threshold is None else threshold,
             num_valid=counts,
+            use_native=self.runtime.use_native_host_ops,
         )
         self.metrics.record(texts=len(texts))
         return {"results": [r.to_dict() for r in results]}

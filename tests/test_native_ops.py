@@ -113,3 +113,50 @@ def test_pad_batch_parity():
         np.testing.assert_array_equal(ids[i, :L], r[:L])
         assert (ids[i, L:] == 0).all()
         assert mask[i].sum() == L
+
+
+# ---------------------------------------------------------------------------
+# Hot-path wiring: the native kernels must be REACHED from the public APIs
+# (decide_batch / encode_batch), not only callable in isolation, and the
+# two paths must agree exactly.
+# ---------------------------------------------------------------------------
+def test_decide_batch_native_vs_numpy_identical():
+    import numpy as np
+
+    from gliclass.c_tpu import native_ops
+    from gliclass.c_tpu.postprocess import decide_batch
+
+    if not native_ops.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    B, C = 48, 8  # under _NATIVE_DECIDE_MAX_CELLS -> native path engages
+    probs = rng.random((B, C)).astype(np.float32)
+    probs[0] = 0.0  # all-zero row -> idx -1 / [Unknown] in single-label
+    texts = [f"t{i}" for i in range(B)]
+    labels = [[f"l{j}" for j in range(C - 1)]]  # fewer labels than cols -> [Unknown]
+    nv = [C] * B
+    for ctype in ("multi-label", "single-label"):
+        a = decide_batch(probs, texts, labels, True, ctype, 0.5, num_valid=nv, use_native=True)
+        b = decide_batch(probs, texts, labels, True, ctype, 0.5, num_valid=nv, use_native=False)
+        assert [r.to_dict() for r in a] == [r.to_dict() for r in b]
+
+
+def test_encode_batch_native_fill_matches_loop(tiny_tokenizer_file, monkeypatch):
+    import numpy as np
+
+    import gliclass.c_tpu.tokenization as T
+    from gliclass.c_tpu import native_ops
+    from gliclass.c_tpu.tokenization import PromptTokenizer
+
+    if not native_ops.available():
+        pytest.skip("native library not built")
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    prompts = [f"prompt number {i} with words {'x' * (i % 37)}" for i in range(64)]
+    # force the native fill on this small batch, then compare to the loop
+    monkeypatch.setattr(T, "_NATIVE_PAD_MIN_ROWS", 1)
+    a = tok.encode_batch(prompts, max_length=32, pad_to=32)
+    monkeypatch.setattr(T, "_NATIVE_PAD_MIN_ROWS", 1 << 30)
+    b = tok.encode_batch(prompts, max_length=32, pad_to=32)
+    assert np.array_equal(a.input_ids, b.input_ids)
+    assert np.array_equal(a.attention_mask, b.attention_mask)
+    assert np.array_equal(a.lengths, b.lengths)

@@ -198,7 +198,27 @@ def cmd_selftest(args) -> int:
     tol = 1e-3 if runtime.compute_dtype == "float32" and not args.int8 else 2e-1
     status = "PASS" if worst <= tol else "FAIL"
     print(f"golden-logit check: max |delta| = {worst:.6f} (tol {tol}) {status}")
-    return 0 if status == "PASS" else 1
+    rc = 0 if status == "PASS" else 1
+
+    if args.int8:
+        # Accuracy gate (BASELINE.md): micro-F1 delta of the INT8 path vs the
+        # fp32 path over the deterministic synthetic eval set must stay within
+        # 0.5%. The fp32 reference engine comes from the same bundle.
+        from .utils.eval import int8_f1_gate
+
+        rt32 = dataclasses.replace(runtime, quant_mode="none")
+        pipe32 = ZeroShotClassificationPipeline.from_bundle(bundle_path, rt32)
+        gate = int8_f1_gate(pipe32, pipe, n_texts=256, threshold=runtime.threshold)
+        f1_ok = gate["delta"] <= 0.005
+        print(
+            f"int8 F1 gate: fp32={gate['f1_fp32']:.4f} int8={gate['f1_int8']:.4f} "
+            f"delta={gate['delta']:.4f} (tol 0.005) "
+            f"max|prob delta|={gate['max_prob_delta']:.2e} "
+            + ("PASS" if f1_ok else "FAIL")
+        )
+        if not f1_ok:
+            rc = 1
+    return rc
 
 
 def main(argv=None) -> int:

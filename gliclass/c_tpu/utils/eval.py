@@ -64,3 +64,85 @@ def f1_delta(
 def decisions_to_label_sets(results) -> list[list[str]]:
     """TextResult list -> per-text predicted label lists."""
     return [[d.label for d in r.decisions] for r in results]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic eval set + the INT8-vs-fp32 gate runner
+# ---------------------------------------------------------------------------
+# Each label has signature words; a text's reference labels are exactly the
+# labels whose signature words were mixed into it. Real eval sets would come
+# from the published GLiClass benchmarks (no network in this environment);
+# this set is deterministic, self-labelling, and exercises the same decision
+# machinery (reference gates its quantized model on one canonical sample at
+# atol 1e-3, ONNX_CONVERTING/test_onnx.py:48-51,72-74 — this is the F1-level
+# analog required by BASELINE.md).
+EVAL_LABELS = ("science", "sports", "news", "market")
+_SIGNATURES = {
+    "science": ["science", "model", "format", "research"],
+    "sports": ["sports", "running", "game", "races"],
+    "news": ["news", "politics", "question", "report"],
+    "market": ["market", "business", "open", "trade"],
+}
+_FILLER = ["the", "quick", "brown", "fox", "dog", "travel", "health", "why"]
+
+
+def synthetic_eval_set(
+    n_texts: int = 512, seed: int = 0
+) -> tuple[list[str], list[str], list[list[str]]]:
+    """Returns (texts, label_list, per-text reference label lists)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    labels = list(EVAL_LABELS)
+    texts, refs = [], []
+    for _ in range(n_texts):
+        k = int(rng.integers(0, 3))
+        chosen = list(rng.choice(labels, size=k, replace=False))
+        words: list[str] = []
+        for c in chosen:
+            words += list(rng.choice(_SIGNATURES[c], size=2))
+        words += list(rng.choice(_FILLER, size=int(rng.integers(2, 6))))
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+        refs.append(chosen)
+    return texts, labels, refs
+
+
+def int8_f1_gate(
+    pipe_fp32,
+    pipe_int8,
+    n_texts: int = 512,
+    threshold: float = 0.5,
+    seed: int = 0,
+) -> dict:
+    """Run both pipelines over the synthetic eval set and compare micro-F1.
+
+    Returns {"f1_fp32", "f1_int8", "delta", "positives_fp32", "cells",
+    "max_prob_delta"}; the BASELINE.md gate is delta <= 0.005.
+    ``max_prob_delta`` doubles as the silent-no-op guard: an INT8 path that
+    never actually quantizes produces bit-identical probabilities.
+    """
+    import numpy as np
+
+    from ..postprocess import decide_batch
+
+    texts, labels, refs = synthetic_eval_set(n_texts, seed)
+    nv = [len(labels)] * len(texts)
+    p32 = pipe_fp32.predict_probs(texts, [labels], True)
+    p8 = pipe_int8.predict_probs(texts, [labels], True)
+    d32 = decisions_to_label_sets(
+        decide_batch(p32, texts, [labels], True, "multi-label", threshold, num_valid=nv)
+    )
+    d8 = decisions_to_label_sets(
+        decide_batch(p8, texts, [labels], True, "multi-label", threshold, num_valid=nv)
+    )
+    f32 = multilabel_f1(d32, refs)
+    f8 = multilabel_f1(d8, refs)
+    return {
+        "f1_fp32": f32.micro_f1,
+        "f1_int8": f8.micro_f1,
+        "delta": abs(f32.micro_f1 - f8.micro_f1),
+        "positives_fp32": sum(len(d) for d in d32),
+        "cells": len(texts) * len(labels),
+        "max_prob_delta": float(np.abs(p32 - p8).max()),
+    }

@@ -155,6 +155,15 @@ def main() -> None:
             )
             log(f"speed-of-light (S=512 step): {sol}")
 
+    # Per-kernel measured-vs-SoL table (BASELINE.md per-kernel accounting):
+    # the serving building blocks probed in isolation at two step shapes.
+    if platform == "tpu" and os.environ.get("BENCH_SKIP_KERNEL_TABLE") != "1":
+        from gliclass.c_tpu.utils.perf import format_kernel_report, per_kernel_report
+
+        for B, S in ((int(os.environ.get("BENCH_BATCH", "128")), 96), (128, 512)):
+            rows = per_kernel_report(cfg, B, S, quant_mode="int8", chip="v5e")
+            log(f"per-kernel SoL @ [B={B}, S={S}]:\n" + format_kernel_report(rows))
+
     print(
         json.dumps(
             {

@@ -108,6 +108,165 @@ def gliclass_step_cost(
     return c
 
 
+# ---------------------------------------------------------------------------
+# Per-kernel measured-vs-SoL probes (BASELINE.md: per-kernel accounting)
+# ---------------------------------------------------------------------------
+def _component_costs(cfg: GLiClassConfig, batch: int, seq: int,
+                     quant_mode: str, act: int) -> dict[str, tuple[float, float]]:
+    """Per-LAYER (flops, hbm_bytes) for each probe component, matching the
+    terms of :func:`gliclass_step_cost` so probe utilization and whole-step
+    utilization share one cost model."""
+    from ..models.deberta import _TABLE_SKEW_MAX_SEQ
+
+    bb = cfg.backbone
+    H, I = bb.hidden_size, bb.intermediate_size
+    h, d = bb.num_attention_heads, bb.head_dim
+    B, S = batch, seq
+    M = B * S
+    W = 2 * S - 1
+    wb = 1 if quant_mode == "int8" else act
+    K2 = 2 * (bb.position_buckets if bb.position_buckets > 0 else S)
+
+    qkv_o = (4 * 2 * M * H * H, 4 * H * H * wb + 8 * M * H * act)
+    ffn = (2 * 2 * M * H * I, 2 * H * I * wb + 2 * M * H * act + 2 * M * I * act)
+
+    attn_flops = 4 * 2 * M * H * H + 2 * 2 * B * h * S * S * d  # proj + qk/pv
+    attn_bytes = 4 * H * H * wb + 8 * M * H * act
+    if bb.relative_attention:
+        attn_flops += 2 * 2 * B * h * S * S * d  # c2p + p2c bias einsums
+        attn_flops += 2 * 2 * K2 * H * H  # pos projections
+        if S <= _TABLE_SKEW_MAX_SEQ:
+            attn_flops += 2 * (h * d) * W * S * S  # one-hot table skew
+            attn_bytes += 4 * B * h * S * S * act  # score tensors (~4 passes)
+            attn_bytes += 2 * h * d * S * S * act  # [h,d,S,S] tables w+r
+        else:
+            attn_bytes += 4 * B * h * S * d * act  # fused kernel: q/k/v/o io
+    return {"qkv_o_proj": qkv_o, "ffn": ffn, "attn_total": (attn_flops, attn_bytes)}
+
+
+def per_kernel_report(
+    cfg: GLiClassConfig,
+    batch: int,
+    seq: int,
+    quant_mode: str = "int8",
+    chip: str = "v5e",
+    iters: int = 10,
+) -> list[dict]:
+    """Measure each hot component in isolation at the step's shapes and price
+    it against its own speed-of-light.
+
+    Components are the REAL serving building blocks (ops.layers.linear with
+    INT8 dispatch, models.deberta.disentangled_attention with its measured
+    routing), not reimplementations — so a regression in any of them moves
+    this table. One jit per probe; timing amortizes the host round-trip over
+    ``iters`` back-to-back dispatches with a single terminal block (the
+    per-call block_until_ready pattern under-reports on tunneled stacks).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.deberta import rel_bias_columns
+    from ..ops.layers import activation, linear
+    from ..ops.quant import quantize_dense_param
+
+    bb = cfg.backbone
+    H, I = bb.hidden_size, bb.intermediate_size
+    act_bytes = 2  # bf16 serving
+    dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+
+    def dense(k_in: int, k_out: int):
+        w = (rng.standard_normal((k_in, k_out)) * 0.02).astype(np.float32)
+        p = {"w": jnp.asarray(w, dtype)}
+        if quant_mode == "int8":
+            p = quantize_dense_param({"w": w})
+        return p
+
+    M = batch * seq
+    x = jnp.asarray(rng.standard_normal((M, H)), dtype)
+    xs = jnp.asarray(rng.standard_normal((batch, seq, H)), dtype)
+
+    p_q, p_k, p_v, p_o = (dense(H, H) for _ in range(4))
+    p_up, p_down = dense(H, I), dense(I, H)
+
+    max_rel = bb.max_relative_positions
+    if max_rel < 1:
+        max_rel = bb.max_position_embeddings
+    span = bb.position_buckets if bb.position_buckets > 0 else max_rel
+    c2p_np, p2c_np = rel_bias_columns(seq, span, bb.position_buckets, max_rel)
+    rel_emb = jnp.asarray(rng.standard_normal((2 * span, H)), dtype)
+    ones_mask = jnp.ones((batch, seq), jnp.int32)
+    pair_mask = jnp.ones((batch, seq, seq), bool)
+    c2p_cols, p2c_cols = jnp.asarray(c2p_np), jnp.asarray(p2c_np)
+
+    @jax.jit
+    def probe_qkv_o(x):
+        return linear(p_o, linear(p_v, x, dtype), dtype) + linear(
+            p_k, x, dtype
+        ) + linear(p_q, x, dtype)
+
+    @jax.jit
+    def probe_ffn(x):
+        return linear(p_down, activation(bb.hidden_act)(linear(p_up, x, dtype)), dtype)
+
+    @jax.jit
+    def probe_attn(xs):
+        from ..models.deberta import disentangled_attention
+
+        p_attn = {"q": p_q, "k": p_k, "v": p_v, "o": p_o}
+        return disentangled_attention(
+            p_attn, xs, rel_emb, pair_mask, c2p_cols, p2c_cols, bb, dtype,
+            key_mask=ones_mask,
+        )
+
+    costs = _component_costs(cfg, batch, seq, quant_mode, act_bytes)
+    probes = [
+        ("qkv_o_proj", probe_qkv_o, (x,)),
+        ("ffn", probe_ffn, (x,)),
+        ("attn_total", probe_attn, (xs,)),
+    ]
+    peaks = CHIP_PEAKS[chip]
+    rows = []
+    for name, fn, args in probes:
+        out = fn(*args)
+        jax.block_until_ready(out)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        flops, bytes_ = costs[name]
+        sol_ms = max(
+            flops / (peaks["bf16_tflops"] * 1e12),
+            bytes_ / (peaks["hbm_gbps"] * 1e9),
+        ) * 1e3
+        rows.append(
+            {
+                "component": name,
+                "ms": round(ms, 3),
+                "sol_ms": round(sol_ms, 3),
+                "sol_frac": round(sol_ms / ms, 3) if ms > 0 else 0.0,
+                "tflops": round(flops / (ms * 1e-3) / 1e12, 1),
+                "gbps": round(bytes_ / (ms * 1e-3) / 1e9, 1),
+            }
+        )
+    return rows
+
+
+def format_kernel_report(rows: list[dict]) -> str:
+    head = f"{'component':<12} {'ms':>8} {'sol_ms':>8} {'sol_frac':>8} {'tflops':>7} {'gbps':>7}"
+    lines = [head]
+    for r in rows:
+        lines.append(
+            f"{r['component']:<12} {r['ms']:>8.3f} {r['sol_ms']:>8.3f} "
+            f"{r['sol_frac']:>8.3f} {r['tflops']:>7.1f} {r['gbps']:>7.1f}"
+        )
+    return "\n".join(lines)
+
+
 def speed_of_light(
     cfg: GLiClassConfig,
     batch: int,

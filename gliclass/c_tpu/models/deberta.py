@@ -236,21 +236,36 @@ def disentangled_attention(
             _use_flash,
             fusable,
             fused_disentangled_attention,
+            table_bias_attention,
+            use_bias_route,
         )
 
         S = x.shape[-2]
         # _use_flash is checked here too (not only inside the fused call) so
         # GLICLASS_TPU_FLASH_ATTN=1 engages at any flash-compatible S, not
         # just where the whole-row kernel is already routed (S >= 512).
-        if fusable(S, cfg.head_dim, compute_dtype) or _use_flash(S):
+        if (
+            use_bias_route(S, cfg.head_dim, compute_dtype)
+            or fusable(S, cfg.head_dim, compute_dtype)
+            or _use_flash(S)
+        ):
             pos_q_flat, pos_k_flat = _pos_qk()
             pos_k = _split_heads(pos_k_flat, nh)
             pos_q = _split_heads(pos_q_flat, nh)
             pos_k_rel = jnp.take(pos_k, c2p_cols, axis=1)  # [h,2S-1,d]
             pos_q_rel = jnp.take(pos_q, p2c_cols, axis=1)
-            ctx = fused_disentangled_attention(
-                q, k, v, pos_k_rel, pos_q_rel, key_mask, scale
-            )
+            if use_bias_route(S, cfg.head_dim, compute_dtype):
+                bias_dtype = (
+                    jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+                )
+                ctx = table_bias_attention(
+                    q, k, v, pos_k_rel, pos_q_rel, key_mask, scale,
+                    score_dtype=bias_dtype,
+                )
+            else:
+                ctx = fused_disentangled_attention(
+                    q, k, v, pos_k_rel, pos_q_rel, key_mask, scale
+                )
             ctx = jnp.moveaxis(ctx, -3, -2).reshape(
                 *x.shape[:-1], nh * cfg.head_dim
             )

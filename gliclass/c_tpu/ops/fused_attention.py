@@ -375,6 +375,254 @@ def flash_disentangled_attention(
     )
 
 
+# ---------------------------------------------------------------------------
+# Precomputed-bias route: Pallas table build + canonical einsums + bias-fed
+# fused softmax kernel.
+# ---------------------------------------------------------------------------
+# The whole-row kernel above recomputes qp/kp and pays log2(S) VPU skew rolls
+# per (batch, head-group) — data movement with zero batch reuse, which is why
+# it only ties the XLA table path at S=512. This route splits the work by what
+# amortizes: the relative->absolute skew happens on the BATCH-INDEPENDENT
+# position tables (an MXU one-hot matmul — the only formulation where the
+# skew's tied row index lands exclusively on output axes), the bias einsums
+# stay in XLA (batched [B,d]x[d,S], already at their K=d MXU limit), and the
+# score-space work (qk + bias adds + softmax + PV) fuses into one Pallas
+# kernel so no [B,h,S,S] tensor makes a second round trip to HBM.
+#
+# Numerics: one-hot skew copies values exactly (single nonzero term per
+# output); qk accumulates fp32; softmax is fp32; bias is stored in score
+# dtype (bf16 in serving, fp32 in parity mode) — the same contract as the
+# XLA table path in models/deberta.py:259-308.
+
+# --- Pallas canonical table builder -----------------------------------------
+# T[h, d, x, y] = pos_rel[h, y - x + S - 1, d], the same contract as
+# models/deberta._abs_pos_table — but instead of ONE [h*d, 2S-1] x
+# [2S-1, S^2] one-hot matmul (contraction over the full offset axis:
+# 2*h*d*(2S-1)*S^2 = 824 GFLOP at S=512, FLOP-bound at ~9 ms measured), each
+# (blk x blk) tile contracts its window over just 2*blk offsets with a SHARED
+# [2blk, blk^2] one-hot that stays VMEM-resident (constant block index) — 103
+# GFLOP at S=512 and the one-hot never round-trips HBM.
+
+
+def _table_build_kernel(win_ref, e_ref, o_ref):
+    w = win_ref[0, 0]  # [2blk, d]
+    wt = jnp.swapaxes(w, 0, 1)  # [d, 2blk]
+    t = jnp.dot(wt, e_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = t.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("blk",))
+def _abs_pos_table_call(pos_rel, blk):
+    h, W, d = pos_rel.shape
+    S = (W + 1) // 2
+    n = S // blk
+    n_win = 2 * n - 1
+    # pre-slice overlapping stride-blk windows so the per-tile fetch is a
+    # static block pick (window starts are not multiples of the block size)
+    pad = jnp.zeros((h, 1, d), pos_rel.dtype)
+    idx = (jnp.arange(n_win) * blk)[:, None] + jnp.arange(2 * blk)[None, :]
+    win = jnp.take(jnp.concatenate([pos_rel, pad], 1), idx, axis=1)
+    # E[w, x*blk + y] = 1 iff w == y - x + blk - 1
+    xy = (
+        jnp.arange(blk, dtype=jnp.int32)[None, :]
+        - jnp.arange(blk, dtype=jnp.int32)[:, None]
+        + blk
+        - 1
+    ).reshape(-1)
+    E = (
+        jnp.arange(2 * blk, dtype=jnp.int32)[:, None] == xy[None, :]
+    ).astype(pos_rel.dtype)
+
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:
+        interpret = True
+    return pl.pallas_call(
+        _table_build_kernel,
+        grid=(h, n, n),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 2 * blk, d),
+                lambda ih, ix, iy: (ih, iy - ix + n - 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2 * blk, blk * blk), lambda ih, ix, iy: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d, blk, blk),
+            lambda ih, ix, iy: (ih, 0, ix, iy),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, d, S, S), pos_rel.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * n * n * d * 2 * blk * blk * blk,
+            bytes_accessed=h * d * S * S * pos_rel.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win, E)
+
+
+def abs_pos_table(pos_rel: jax.Array, S: int, blk: int = _FLASH_BLK) -> jax.Array:
+    """[h, 2S-1, d] -> [h, d, S, S] absolute table T[h,d,x,y] =
+    pos_rel[h, y-x+S-1, d] via per-tile one-hot matmuls (VMEM-resident
+    one-hot). Requires S % blk == 0; callers fall back to
+    models/deberta._abs_pos_table otherwise."""
+    assert S % blk == 0, (S, blk)
+    return _abs_pos_table_call(pos_rel, blk)
+
+
+def _bias_kernel(q_ref, k_ref, v_ref, c2p_ref, p2c_ref, mask_ref, o_ref, *, scale):
+    q = q_ref[0]  # [g, S, d]
+    k = k_ref[0]
+    v = v_ref[0]
+    bdn = (((2,), (2,)), ((0,), (0,)))
+    qk = jax.lax.dot_general(q, k, bdn, preferred_element_type=jnp.float32)
+    s = (
+        qk
+        + c2p_ref[0].astype(jnp.float32)
+        + p2c_ref[0].astype(jnp.float32)
+    ) * (1.0 / scale)
+    key_ok = mask_ref[0, 0] > 0  # [S]
+    s = jnp.where(key_ok[None, None, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pv = (((2,), (1,)), ((0,), (0,)))
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, pv, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _pick_bias_group(h: int, S: int, d: int, bias_bytes: int) -> int:
+    """Largest divisor g of h fitting the VMEM budget: double-buffered q/k/v/o
+    + two bias blocks, fp32 score/probability intermediates."""
+    for g in range(h, 0, -1):
+        if h % g:
+            continue
+        blocks = 2 * g * (4 * S * d * 2 + 2 * S * S * bias_bytes)
+        interm = g * 2 * S * S * 4  # scores / probs (fp32)
+        if blocks + interm <= _VMEM_BUDGET:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "g"))
+def _bias_fused_call(q, k, v, c2p, p2c, mask, scale, g):
+    B, h, S, d = q.shape
+    grid = (B, h // g)
+
+    def qkv_spec():
+        return pl.BlockSpec(
+            (1, g, S, d), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def bias_spec():
+        return pl.BlockSpec(
+            (1, g, S, S), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:
+        interpret = True
+    return pl.pallas_call(
+        functools.partial(_bias_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            qkv_spec(),
+            qkv_spec(),
+            qkv_spec(),
+            bias_spec(),
+            bias_spec(),
+            pl.BlockSpec((1, 1, S), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec(),
+        out_shape=jax.ShapeDtypeStruct((B, h, S, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * h * S * S * d * 2,
+            bytes_accessed=B * h * (S * d * 4 * 2 + 2 * S * S * c2p.dtype.itemsize),
+            transcendentals=B * h * S * S,
+        ),
+        interpret=interpret,
+    )(q, k, v, c2p, p2c, mask)
+
+
+def bias_fused_attention(
+    q: jax.Array,  # [B, h, S, d]
+    k: jax.Array,
+    v: jax.Array,
+    c2p: jax.Array,  # [B, h, S, S] unscaled c2p bias
+    p2c: jax.Array,  # [B, h, S, S] unscaled p2c bias
+    attention_mask: jax.Array,  # [B, S] (1 = valid key)
+    scale: float,
+) -> jax.Array:
+    """softmax((q·k^T + c2p + p2c) / scale) @ v with scores VMEM-resident.
+
+    Taking the two bias terms separately (instead of pre-summed) saves a full
+    [B,h,S,S] read+write pass in XLA; the add happens in VMEM."""
+    B, h, S, d = q.shape
+    g = _pick_bias_group(h, S, d, c2p.dtype.itemsize)
+    return _bias_fused_call(
+        q, k, v, c2p, p2c, attention_mask.astype(jnp.int32)[:, None, :], scale, g
+    )
+
+
+def table_bias_attention(
+    q: jax.Array,  # [B, h, S, d]
+    k: jax.Array,
+    v: jax.Array,
+    pos_k_rel: jax.Array,  # [h, 2S-1, d] column-taken c2p table
+    pos_q_rel: jax.Array,  # [h, 2S-1, d] column-taken p2c table
+    attention_mask: jax.Array,  # [B, S]
+    scale: float,
+    score_dtype=jnp.float32,
+    blk: int = _FLASH_BLK,
+) -> jax.Array:
+    """Precomputed-bias disentangled attention (the S >= 512 serving route).
+
+    Pipeline: Pallas table build (abs_pos_table; skew applied to the
+    batch-independent tables, one-hot VMEM-resident) -> the two canonical
+    bias einsums (batched [B,d]x[d,S] — at their K=d MXU limit, near-optimal
+    in XLA) -> bias_fused_attention (scores never touch HBM). Same semantics
+    as the models/deberta.py table path (reference
+    ONNX graph disentangled_attention_bias; transformers deberta-v2
+    disentangled_attention_bias c2p/p2c)."""
+    S = q.shape[2]
+    Tc = abs_pos_table(pos_k_rel, S, blk=blk)
+    Tq = abs_pos_table(pos_q_rel, S, blk=blk)
+    c2p = jnp.einsum("bhid,hdij->bhij", q, Tc, preferred_element_type=score_dtype)
+    p2c = jnp.einsum("bhjd,hdji->bhij", k, Tq, preferred_element_type=score_dtype)
+    return bias_fused_attention(
+        q, k, v, c2p.astype(score_dtype), p2c.astype(score_dtype),
+        attention_mask, scale,
+    )
+
+
+def use_bias_route(S: int, d: int, compute_dtype) -> bool:
+    """Route S >= 512 through rel_bias_blocked + bias_fused_attention.
+
+    GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at any
+    blk-divisible S, 'row' forces the whole-row kernel, 'table'/'xla' forces
+    the XLA paths in models/deberta.py."""
+    import os
+
+    route = os.environ.get("GLICLASS_TPU_ATTN_ROUTE", "auto")
+    if route in ("row", "table", "xla"):
+        return False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    ok = S % _FLASH_BLK == 0 and d % 8 == 0
+    if route == "bias":
+        return ok  # forced: also engages off-TPU (interpret mode) for tests
+    return ok and on_tpu and S >= 512
+
+
 def fusable(S: int, d: int, compute_dtype) -> bool:
     import os
 

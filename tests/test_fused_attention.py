@@ -85,6 +85,50 @@ def test_flash_matches_xla(S, blk):
         )
 
 
+@pytest.mark.parametrize("S,blk", [(16, 8), (32, 8), (32, 16)])
+def test_bias_route_matches_xla(S, blk):
+    """abs_pos_table + table_bias_attention vs the XLA reference.
+
+    Exercises the Pallas per-tile one-hot table builder (VMEM-resident skew
+    one-hot) and the bias-fed fused softmax kernel (interpret mode — same
+    kernel code that runs compiled on TPU)."""
+    from gliclass.c_tpu.models.deberta import _abs_pos_table
+    from gliclass.c_tpu.ops.fused_attention import (
+        abs_pos_table,
+        table_bias_attention,
+    )
+
+    B, h, d = 2, 3, 8
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    W = 2 * S - 1
+    pos_k = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    pos_q = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    mask = np.ones((B, S), dtype=np.int32)
+    mask[1, S - 3 :] = 0
+    mask = jnp.asarray(mask)
+    scale = math.sqrt(d * 3)
+
+    ref = np.asarray(xla_reference(q, k, v, pos_k, pos_q, mask, scale))
+
+    # Pallas table builder must equal the XLA one-hot skew exactly
+    T = abs_pos_table(pos_k, S, blk=blk)
+    np.testing.assert_array_equal(
+        np.asarray(T), np.asarray(_abs_pos_table(pos_k, S))
+    )
+
+    out = np.asarray(
+        table_bias_attention(q, k, v, pos_k, pos_q, mask, scale, blk=blk)
+    )
+    valid = np.asarray(mask).astype(bool)
+    for b in range(B):
+        np.testing.assert_allclose(
+            out[b, :, valid[b]], ref[b, :, valid[b]], atol=1e-5, rtol=1e-5
+        )
+
+
 def test_fused_with_real_bias_columns():
     """End-to-end shape check with real bucketed columns (taken tables)."""
     from gliclass.c_tpu.models.deberta import log_bucket

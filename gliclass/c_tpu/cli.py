@@ -36,6 +36,7 @@ def _runtime_from_args(args) -> RuntimeConfig:
         quant_mode="int8" if args.int8 else "none",
         dp_size=args.dp,
         tp_size=args.tp,
+        sp_size=args.sp,
         tokenizer_workers=args.workers,
     )
 
@@ -65,6 +66,11 @@ def _add_runtime_flags(p: argparse.ArgumentParser):
     p.add_argument("--int8", action="store_true", help="use the INT8 weight bundle")
     p.add_argument("--dp", type=int, default=1, help="data-parallel mesh size")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    p.add_argument(
+        "--sp", type=int, default=1,
+        help="sequence-parallel mesh size (token-axis activation sharding "
+        "for long-context/reranker jobs)",
+    )
     p.add_argument("--workers", type=int, default=8, help="tokenizer threads")
 
 
@@ -93,6 +99,22 @@ def cmd_run(args) -> int:
         with open(args.json_out, "w") as f:
             json.dump(out.to_json(), f, indent=2)
         print(f"Results written to {args.json_out}")
+    if out.failures:
+        # Job-level retry already happened (one per failed batch); report the
+        # residue and exit non-zero with the partial report intact.
+        n_failed = len(out.failed_indices)
+        for f in out.failures:
+            print(
+                f"error: batch of {len(f.indices)} text(s) failed after retry: "
+                f"{f.error}",
+                file=sys.stderr,
+            )
+        print(
+            f"{n_failed}/{job.num_texts} texts FAILED (see stderr); "
+            "remaining results are valid",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

@@ -167,6 +167,15 @@ class GLiClassConfig:
     extract_text_features: bool = False
     squeeze_layers: bool = False
     use_lstm: bool = False
+    # CLIP-style init of a LEARNED ``logit_scale`` parameter (the published
+    # default 2.6592 == ln(1/0.07), exactly CLIP's). This field only seeds the
+    # torch reference's parameter; whether converted logits are actually
+    # scaled by exp(logit_scale) is decided by EVIDENCE at conversion time —
+    # the trained tensor's presence in the checkpoint state dict (a checkpoint
+    # from an upstream that instantiates the parameter always contains it;
+    # one that doesn't, never does). See convert/convert.py
+    # load_checkpoint_state_dict and PARITY.md "logit_scale".
+    logit_scale_init_value: float | None = None
     class_token_index: int = -1  # token id of <<LABEL>> (set by converter)
     text_token_index: int = -1  # token id of <<SEP>>  (set by converter)
     max_num_classes: int = 25
@@ -204,15 +213,58 @@ class GLiClassConfig:
         return GLiClassConfig.from_dict(json.loads(s))
 
 
+# Audit of the published HF gliclass config surface. Every field of a real
+# checkpoint's config.json must be accounted for: either MAPPED into
+# GLiClassConfig (it shapes the forward pass) or listed TRAINING_ONLY
+# (loss hyperparameters / serialization metadata with no effect on inference).
+# Anything else errors instead of silently vanishing — the reference gets this
+# guarantee for free by importing the real package
+# (reference ONNX_CONVERTING/convert_to_onnx.py:48-62); this repo must earn it.
+_HF_MAPPED_FIELDS = frozenset({
+    "architecture_type", "encoder_config", "prompt_first", "hidden_size",
+    "projector_hidden_act", "pooling_strategy", "scorer_type",
+    "normalize_features", "extract_text_features", "squeeze_layers",
+    "use_lstm", "class_token_index", "text_token_index", "max_num_classes",
+    "original_model_name", "_name_or_path", "encoder_model_name",
+    "logit_scale_init_value",
+})
+_HF_TRAINING_ONLY_FIELDS = frozenset({
+    "architectures", "model_type", "contrastive_loss_coef",
+    "focal_loss_alpha", "focal_loss_gamma", "ignore_index",
+    "initializer_range", "problem_type", "torch_dtype",
+    "transformers_version", "vocab_size",
+})
+
+
 def _gliclass_config_from_hf_dict(d: dict[str, Any]) -> GLiClassConfig:
     """Published HF gliclass ``config.json`` dict -> GLiClassConfig.
 
     Field names follow the gliclass package's GLiClassModelConfig
     (architecture_type / prompt_first / pooling_strategy / scorer_type /
-    class_token_index / text_token_index / encoder_config / ...). Training-only
-    fields (focal_loss_*, contrastive_loss_coef, initializer_range, ...) are
-    ignored. Mirrors the reference exporter's uni-encoder gate
+    class_token_index / text_token_index / encoder_config / ...). Every field
+    must be mapped or known training-only (see :data:`_HF_MAPPED_FIELDS` /
+    :data:`_HF_TRAINING_ONLY_FIELDS`); an unrecognized field raises instead of
+    being dropped, so a semantic knob this engine does not implement can never
+    silently produce wrong probabilities. Set GLICLASS_ALLOW_UNKNOWN_CONFIG=1
+    to downgrade the error to a stderr warning (at your own risk). Mirrors the
+    reference exporter's uni-encoder gate
     (reference ONNX_CONVERTING/convert_to_onnx.py:48-52)."""
+    unknown = sorted(set(d) - _HF_MAPPED_FIELDS - _HF_TRAINING_ONLY_FIELDS)
+    if unknown:
+        import os
+        import sys
+
+        msg = (
+            f"HF gliclass config has unrecognized field(s) {unknown}: each "
+            "could change the forward pass in a way this engine does not "
+            "implement. Map it (config.py _HF_MAPPED_FIELDS) or, if it is "
+            "training-only, add it to _HF_TRAINING_ONLY_FIELDS. Set "
+            "GLICLASS_ALLOW_UNKNOWN_CONFIG=1 to proceed anyway."
+        )
+        if os.environ.get("GLICLASS_ALLOW_UNKNOWN_CONFIG") == "1":
+            print(f"warning: {msg}", file=sys.stderr)
+        else:
+            raise ValueError(msg)
     arch = d.get("architecture_type", "uni-encoder")
     if arch != "uni-encoder":
         raise ValueError(
@@ -249,6 +301,11 @@ def _gliclass_config_from_hf_dict(d: dict[str, Any]) -> GLiClassConfig:
         extract_text_features=bool(d.get("extract_text_features", False)),
         squeeze_layers=bool(d.get("squeeze_layers", False)),
         use_lstm=bool(d.get("use_lstm", False)),
+        logit_scale_init_value=(
+            float(d["logit_scale_init_value"])
+            if d.get("logit_scale_init_value") is not None
+            else None
+        ),
         class_token_index=int(d.get("class_token_index", -1)),
         text_token_index=int(d.get("text_token_index", -1)),
         max_num_classes=int(d.get("max_num_classes", 25)),

@@ -62,6 +62,11 @@ def convert_head_state_dict(sd: Mapping, cfg: GLiClassConfig) -> Params:
             "mlp_1": _dense(sd, "scorer.mlp_1"),
             "mlp_2": _dense(sd, "scorer.mlp_2"),
         }
+    if "logit_scale" in sd:
+        # Learned CLIP-style scale: presence in the state dict is the evidence
+        # the upstream forward instantiates it (see config.py
+        # logit_scale_init_value); heads.gliclass_head applies exp(logit_scale).
+        head["logit_scale"] = _t(sd, "logit_scale").reshape(())
     return head
 
 
@@ -125,12 +130,33 @@ def load_checkpoint_state_dict(model, sd: Mapping) -> None:
     becomes a hard error listing what is missing/mismatched. Non-parameter
     buffers (position ids, rotary caches) may legitimately be absent. Extra
     checkpoint keys (poolers, task heads) are ignored, mirroring what the
-    reference exporter implicitly drops when tracing only the scoring path."""
+    reference exporter implicitly drops when tracing only the scoring path.
+
+    ``logit_scale`` is the one evidence-driven exception: the model creates
+    the parameter whenever the config carries ``logit_scale_init_value`` (all
+    published configs do), but whether the upstream forward actually
+    instantiates it is only observable from the checkpoint. A checkpoint
+    containing the tensor loads it (and the forward scales by its exp); a
+    checkpoint without it proves the upstream never created it, so the
+    parameter is REMOVED here (not silently kept at its init value, which
+    would scale every converted logit by exp(2.6592) ~= 14.3x)."""
     names = {k for k, _ in model.named_parameters()}
     if not any(k in sd for k in names):
         prefixed = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
         if any(k in prefixed for k in names):
             sd = prefixed
+    if "logit_scale" in names and "logit_scale" not in sd:
+        import sys
+
+        print(
+            "note: checkpoint has no trained logit_scale tensor — the "
+            "config's logit_scale_init_value is unused by the upstream "
+            "uni-encoder forward; converting without logit scaling",
+            file=sys.stderr,
+        )
+        del model.logit_scale
+        model.logit_scale = None
+        names.discard("logit_scale")
     model_sd = model.state_dict()
     missing = sorted(k for k in names if k not in sd)
     mismatched = sorted(

@@ -106,6 +106,16 @@ def build_torch_gliclass(cfg: GLiClassConfig, seed: int = 0):
                 self.layer_weights = nn.Parameter(
                     torch.randn(cfg.backbone.num_hidden_layers + 1)
                 )
+            if cfg.logit_scale_init_value is not None:
+                # CLIP-style learned logit scale (init 2.6592 == ln(1/0.07),
+                # CLIP's exact value): logits *= exp(logit_scale). Created
+                # from the config init; load_checkpoint_state_dict REMOVES it
+                # when the checkpoint carries no trained tensor (evidence the
+                # upstream forward never instantiated it) — see
+                # convert/convert.py and PARITY.md "logit_scale".
+                self.logit_scale = nn.Parameter(
+                    torch.tensor(float(cfg.logit_scale_init_value))
+                )
 
         def forward(self, input_ids, attention_mask, max_labels: int):
             enc = self.encoder_model(
@@ -192,6 +202,9 @@ def build_torch_gliclass(cfg: GLiClassConfig, seed: int = 0):
                 logits = self.scorer(text_rep, label_emb)
             else:
                 raise ValueError(cfg.scorer_type)
+
+            if getattr(self, "logit_scale", None) is not None:
+                logits = logits * self.logit_scale.exp()
 
             return logits.masked_fill(~label_mask, -1e4), label_mask
 

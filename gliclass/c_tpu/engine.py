@@ -118,7 +118,17 @@ class InferenceEngine:
             params = fuse_qkv_params(params, cfg)
         self.params = shard_params(params, self.mesh)
         self._param_shardings = shard_spec_tree(params, self.mesh)
-        self._out_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        # Multi-process (multi-host) mesh: inputs must be assembled into
+        # global arrays from each host's identical copy, and outputs must be
+        # replicated so every host can read its result locally ([B, L] probs
+        # are tiny — the all-gather is noise next to the step).
+        self._multiprocess = any(
+            d.process_index != jax.process_index()
+            for d in np.asarray(self.mesh.devices).flat
+        )
+        self._out_sharding = NamedSharding(
+            self.mesh, P() if self._multiprocess else P(DATA_AXIS, None)
+        )
         self._steps: dict[tuple[int, int], Any] = {}
 
     # ------------------------------------------------------------------
@@ -166,6 +176,22 @@ class InferenceEngine:
         mask[n:, 0] = 1
         return ids, mask, n
 
+    def _device_inputs(self, ids: np.ndarray, mask: np.ndarray):
+        """Host arrays -> device arrays matching the step's in_shardings.
+
+        Single-process: plain transfers (jit places them). Multi-process: every
+        host tokenized the SAME job (deterministic planning), so each host's
+        copy IS the global array — assemble it by slicing out this host's
+        addressable shards (the multihost data-loading recipe; the request
+        plane the reference never had, SURVEY §2 'distributed backend')."""
+        if not self._multiprocess:
+            return jnp.asarray(ids), jnp.asarray(mask)
+        sh = seq_sharding(self.mesh, ids.shape[1])
+        return (
+            jax.make_array_from_process_local_data(sh, ids, ids.shape),
+            jax.make_array_from_process_local_data(sh, mask, mask.shape),
+        )
+
     def run(self, batch: TokenizedBatch, max_labels: int) -> np.ndarray:
         """Tokenized batch -> per-label probabilities [batch, max_labels] (f32).
 
@@ -173,7 +199,7 @@ class InferenceEngine:
         """
         ids, mask, n = self._pad_batch(batch)
         step = self._get_step(ids.shape[1], max_labels)
-        probs = step(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        probs = step(self.params, *self._device_inputs(ids, mask))
         return np.asarray(probs)[:n]
 
     def run_async(self, batch: TokenizedBatch, max_labels: int):
@@ -184,7 +210,7 @@ class InferenceEngine:
         barrier design precludes; reference main.c:116-155)."""
         ids, mask, n = self._pad_batch(batch)
         step = self._get_step(ids.shape[1], max_labels)
-        return step(self.params, jnp.asarray(ids), jnp.asarray(mask)), n
+        return step(self.params, *self._device_inputs(ids, mask)), n
 
     # ------------------------------------------------------------------
     @classmethod

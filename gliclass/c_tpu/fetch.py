@@ -19,12 +19,6 @@ import sys
 
 DEFAULT_CACHE = os.path.expanduser("~/.cache/gliclass_tpu")
 
-_CHECKPOINT_FILES = [
-    "config.json",
-    "model.safetensors",
-    "tokenizer.json",
-]
-
 
 def bundle_cache_path(model_name: str, cache_dir: str | None = None) -> str:
     safe = model_name.replace("/", "--")

@@ -237,7 +237,9 @@ def disentangled_attention(
             fusable,
             fused_disentangled_attention,
             table_bias_attention,
+            tiled_bias_attention,
             use_bias_route,
+            use_tiled_route,
         )
 
         S = x.shape[-2]
@@ -245,7 +247,8 @@ def disentangled_attention(
         # GLICLASS_TPU_FLASH_ATTN=1 engages at any flash-compatible S, not
         # just where the whole-row kernel is already routed (S >= 512).
         if (
-            use_bias_route(S, cfg.head_dim, compute_dtype)
+            use_tiled_route(S, cfg.head_dim, compute_dtype)
+            or use_bias_route(S, cfg.head_dim, compute_dtype)
             or fusable(S, cfg.head_dim, compute_dtype)
             or _use_flash(S)
         ):
@@ -254,10 +257,15 @@ def disentangled_attention(
             pos_q = _split_heads(pos_q_flat, nh)
             pos_k_rel = jnp.take(pos_k, c2p_cols, axis=1)  # [h,2S-1,d]
             pos_q_rel = jnp.take(pos_q, p2c_cols, axis=1)
-            if use_bias_route(S, cfg.head_dim, compute_dtype):
-                bias_dtype = (
-                    jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+            bias_dtype = (
+                jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+            )
+            if use_tiled_route(S, cfg.head_dim, compute_dtype):
+                ctx = tiled_bias_attention(
+                    q, k, v, pos_k_rel, pos_q_rel, key_mask, scale,
+                    score_dtype=bias_dtype,
                 )
+            elif use_bias_route(S, cfg.head_dim, compute_dtype):
                 ctx = table_bias_attention(
                     q, k, v, pos_k_rel, pos_q_rel, key_mask, scale,
                     score_dtype=bias_dtype,

@@ -290,6 +290,12 @@ def gliclass_head(
     else:
         raise ValueError(f"unsupported scorer_type: {cfg.scorer_type!r}")
 
+    if "logit_scale" in params:
+        # Learned CLIP-style scale (present iff the converted checkpoint
+        # carried the trained tensor; see convert/convert.py
+        # load_checkpoint_state_dict and config.py logit_scale_init_value).
+        logits = logits * jnp.exp(params["logit_scale"].astype(jnp.float32))
+
     logits = jnp.where(label_mask, logits.astype(jnp.float32), NEG_LOGIT)
     return logits, label_mask
 

@@ -44,12 +44,26 @@ MAX_FUSED_SEQ = 512
 _VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _pick_group(h: int, S: int, d: int, W: int) -> int:
-    """Largest divisor g of h whose block + intermediate bytes fit the budget."""
+def _route() -> str:
+    """GLICLASS_TPU_ATTN_ROUTE: 'auto' (measured routing) or a forced path:
+    'row' (whole-row kernel), 'flash' (blocked flash kernel), 'bias'
+    (table build + XLA einsums + bias-fed kernel), 'tiled' (fully fused
+    flash + in-kernel windowed tables), 'table'/'xla' (the XLA paths in
+    models/deberta.py). Every predicate below consults this, so each value
+    genuinely forces its path at any compatible shape (A/B benchmarking)."""
+    import os
+
+    return os.environ.get("GLICLASS_TPU_ATTN_ROUTE", "auto")
+
+
+def _pick_group(h: int, S: int, d: int, W: int, esize: int = 2) -> int:
+    """Largest divisor g of h whose block + intermediate bytes fit the budget.
+
+    ``esize`` = q/k/v element size (bf16 serving, fp32 in parity mode)."""
     for g in range(h, 0, -1):
         if h % g:
             continue
-        blocks = 2 * g * (3 * S * d * 2 + 2 * W * d * 2 + S * d * 2)  # 2x: pipelining
+        blocks = 2 * g * (3 * S * d + 2 * W * d + S * d) * esize  # 2x: pipelining
         interm = g * (3 * S * W * 4 + 2 * S * S * 4)  # qp/kp/roll temp + scores/probs
         if blocks + interm <= _VMEM_BUDGET:
             return g
@@ -159,7 +173,7 @@ def fused_disentangled_attention(
             q, k, v, pos_k_rel, pos_q_rel, attention_mask, scale
         )
     W = pos_k_rel.shape[1]
-    g = _pick_group(h, S, d, W)
+    g = _pick_group(h, S, d, W, jnp.dtype(q.dtype).itemsize)
     return _fused_call(
         q, k, v, pos_k_rel, pos_q_rel,
         attention_mask.astype(jnp.int32)[:, None, :], scale, g,
@@ -190,7 +204,13 @@ def _flash_min_seq() -> int:
     table-skew path, whose skew cost is batch-independent), so it loses to
     the table path (30.5/116.9/413.9) everywhere despite doing the fewest
     FLOPs and touching the least HBM. Kept as the O(blk^2)-VMEM reference
-    path for geometries where the [h,d,S,S] tables cannot fit."""
+    path for geometries where the [h,d,S,S] tables cannot fit.
+
+    Status: TEST-ONLY reference path — opt in via GLICLASS_TPU_FLASH_ATTN=1
+    or GLICLASS_TPU_ATTN_ROUTE=flash; never engaged by auto routing (the
+    tiled_bias_attention kernel supersedes it: same O(blk^2) VMEM, but the
+    per-tile skew runs on the batch-independent tables instead of on
+    [B,h,S,*] score tiles)."""
     import os
 
     v = os.environ.get("GLICLASS_TPU_FLASH_ATTN", "auto")
@@ -200,7 +220,14 @@ def _flash_min_seq() -> int:
 
 
 def _use_flash(S: int) -> bool:
-    return S % _FLASH_BLK == 0 and S >= _flash_min_seq()
+    route = _route()
+    if route != "auto" and route != "flash":
+        return False  # another path is forced
+    if S % _FLASH_BLK != 0:
+        return False
+    if route == "flash":
+        return True
+    return S >= _flash_min_seq()
 
 
 def _skew_win(x: jax.Array, blk: int) -> jax.Array:
@@ -271,13 +298,13 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[:] / l_ref[:][..., None]).astype(o_ref.dtype)
 
 
-def _pick_flash_group(h: int, d: int, blk: int) -> int:
+def _pick_flash_group(h: int, d: int, blk: int, esize: int = 2) -> int:
     """Largest divisor g of h fitting the VMEM budget (inputs double-buffered
-    + fp32 tile intermediates + accumulator)."""
+    + fp32 tile intermediates + accumulator). ``esize`` = input element size."""
     for g in range(h, 0, -1):
         if h % g:
             continue
-        blocks = 2 * g * (4 * blk * d * 2 + 2 * 2 * blk * d * 2)  # q/k/v/o + wins
+        blocks = 2 * g * (4 * blk * d + 2 * 2 * blk * d) * esize  # q/k/v/o + wins
         interm = g * (4 * blk * blk * 4 + 4 * blk * 2 * blk * 4)  # qk/c2p/p2c/p + qp/kp/skews
         scratch = g * (blk * d * 4 + 2 * blk * 4)
         if blocks + interm + scratch <= _VMEM_BUDGET:
@@ -368,7 +395,7 @@ def flash_disentangled_attention(
     idx = starts[:, None] + jnp.arange(2 * blk)[None, :]  # [n_win, 2blk]
     posk_win = jnp.take(posk_pad, idx, axis=1)  # [h, n_win, 2blk, d]
     posq_win = jnp.take(posq_pad, idx, axis=1)
-    g = _pick_flash_group(h, d, blk)
+    g = _pick_flash_group(h, d, blk, jnp.dtype(q.dtype).itemsize)
     return _flash_call(
         q, k, v, posk_win, posq_win,
         attention_mask.astype(jnp.int32)[:, None, :], scale, g, blk,
@@ -497,13 +524,16 @@ def _bias_kernel(q_ref, k_ref, v_ref, c2p_ref, p2c_ref, mask_ref, o_ref, *, scal
     ).astype(o_ref.dtype)
 
 
-def _pick_bias_group(h: int, S: int, d: int, bias_bytes: int) -> int:
+def _pick_bias_group(h: int, S: int, d: int, bias_bytes: int,
+                     esize: int = 2) -> int:
     """Largest divisor g of h fitting the VMEM budget: double-buffered q/k/v/o
-    + two bias blocks, fp32 score/probability intermediates."""
+    + two bias blocks, fp32 score/probability intermediates. ``esize`` =
+    q/k/v element size (bf16 serving, fp32 when the route is forced in
+    parity mode)."""
     for g in range(h, 0, -1):
         if h % g:
             continue
-        blocks = 2 * g * (4 * S * d * 2 + 2 * S * S * bias_bytes)
+        blocks = 2 * g * (4 * S * d * esize + 2 * S * S * bias_bytes)
         interm = g * 2 * S * S * 4  # scores / probs (fp32)
         if blocks + interm <= _VMEM_BUDGET:
             return g
@@ -565,7 +595,8 @@ def bias_fused_attention(
     Taking the two bias terms separately (instead of pre-summed) saves a full
     [B,h,S,S] read+write pass in XLA; the add happens in VMEM."""
     B, h, S, d = q.shape
-    g = _pick_bias_group(h, S, d, c2p.dtype.itemsize)
+    g = _pick_bias_group(h, S, d, c2p.dtype.itemsize,
+                         jnp.dtype(q.dtype).itemsize)
     return _bias_fused_call(
         q, k, v, c2p, p2c, attention_mask.astype(jnp.int32)[:, None, :], scale, g
     )
@@ -602,47 +633,300 @@ def table_bias_attention(
     )
 
 
-def use_bias_route(S: int, d: int, compute_dtype) -> bool:
-    """Route S >= 512 through rel_bias_blocked + bias_fused_attention.
+# ---------------------------------------------------------------------------
+# Tiled fully-fused route: windowed absolute tables + flash-style kernel with
+# in-VMEM bias contractions.
+# ---------------------------------------------------------------------------
+# The bias route above still makes two [B, h, S, S] HBM round trips per layer
+# (einsum write + kernel read) — by its own accounting the dominant remaining
+# traffic at S >= 512. This route eliminates them: the skew is applied to the
+# BATCH-INDEPENDENT position tables (one-hot MXU matmul, windowed so only the
+# 2S/blk - 1 distinct block-diagonals are built: ~2x table duplication instead
+# of the n^2 tiles of the full [h, d, S, S] table), and the q·T / k·T bias
+# contractions happen INSIDE the flash-style attention kernel, per tile, in
+# VMEM. Per layer HBM traffic: q/k/v/o io + windowed-table write/read — no
+# O(B·S^2) term at all.
+#
+# Numerics: identical contract to table_bias_attention (reference ONNX graph
+# disentangled_attention_bias semantics): tables in score dtype, fp32 score
+# accumulation, fp32 online softmax, probabilities cast to v.dtype for PV.
 
-    GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at any
-    blk-divisible S, 'row' forces the whole-row kernel, 'table'/'xla' forces
-    the XLA paths in models/deberta.py."""
-    import os
 
-    route = os.environ.get("GLICLASS_TPU_ATTN_ROUTE", "auto")
-    if route in ("row", "table", "xla"):
+def _win_table_kernel(win_ref, e_ref, o_ref):
+    w = win_ref[0, 0]  # [2blk, d]
+    wt = jnp.swapaxes(w, 0, 1)  # [d, 2blk]
+    t = jnp.dot(wt, e_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0, 0] = t.reshape(o_ref.shape[2:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("blk",))
+def _windowed_tables_call(pos_rel, blk):
+    """[h, 2S-1, d] -> [h, n_win, d, blk, blk] windowed absolute tables:
+    out[h, w, e, x, y] = pos_rel[h, w*blk + (y - x + blk - 1), d=e] — i.e. the
+    absolute table T[h, e, i, j] = pos_rel[h, j - i + S - 1, e] restricted to
+    the block-diagonal window w = jb - ib + n - 1 (ib = i//blk, jb = j//blk),
+    with (x, y) = (i, j) mod blk. One build per DISTINCT window (2n-1 of
+    them), not per tile pair (n^2) — cheaper than the full-table builder."""
+    h, W, d = pos_rel.shape
+    S = (W + 1) // 2
+    n = S // blk
+    n_win = 2 * n - 1
+    pad = jnp.zeros((h, 1, d), pos_rel.dtype)
+    idx = (jnp.arange(n_win) * blk)[:, None] + jnp.arange(2 * blk)[None, :]
+    win = jnp.take(jnp.concatenate([pos_rel, pad], 1), idx, axis=1)
+    xy = (
+        jnp.arange(blk, dtype=jnp.int32)[None, :]
+        - jnp.arange(blk, dtype=jnp.int32)[:, None]
+        + blk
+        - 1
+    ).reshape(-1)
+    E = (
+        jnp.arange(2 * blk, dtype=jnp.int32)[:, None] == xy[None, :]
+    ).astype(pos_rel.dtype)
+
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:
+        interpret = True
+    return pl.pallas_call(
+        _win_table_kernel,
+        grid=(h, n_win),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 2 * blk, d), lambda ih, iw: (ih, iw, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2 * blk, blk * blk), lambda ih, iw: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, d, blk, blk), lambda ih, iw: (ih, iw, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, n_win, d, blk, blk), pos_rel.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * n_win * d * 2 * blk * blk * blk,
+            bytes_accessed=h * n_win * d * blk * blk * pos_rel.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win, E)
+
+
+def _tiled_kernel(
+    q_ref, k_ref, v_ref, twc_ref, twq_ref, mask_ref, o_ref,
+    m_ref, l_ref, acc_ref, *, scale, n_k, bb,
+):
+    ik = pl.program_id(2)
+    ib = pl.program_id(3)
+    slc = pl.ds(ib * bb, bb)
+
+    @pl.when(ik == 0)
+    def _():
+        m_ref[slc] = jnp.full((bb,) + m_ref.shape[1:], -1e30, jnp.float32)
+        l_ref[slc] = jnp.zeros((bb,) + l_ref.shape[1:], jnp.float32)
+        acc_ref[slc] = jnp.zeros((bb,) + acc_ref.shape[1:], jnp.float32)
+
+    q = q_ref[:, 0]  # [bb, blk, d]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    twc = twc_ref[0, 0]  # [d, blk, blk]: twc[e, x, y]
+    twq = twq_ref[0, 0]  # [d, blk, blk]: twq[e, y, x] window for p2c
+
+    qk = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [bb, x, y]
+    # c2p[b, x, y] = sum_e q[b, x, e] * twc[e, x, y]: batch over x, contract e
+    c2p = jax.lax.dot_general(
+        q, twc, (((2,), (0,)), ((1,), (1,))), preferred_element_type=jnp.float32
+    )  # [x, bb, y]
+    # p2c[b, x, y] = sum_e k[b, y, e] * twq[e, y, x]: batch over y, contract e
+    p2c = jax.lax.dot_general(
+        k, twq, (((2,), (0,)), ((1,), (1,))), preferred_element_type=jnp.float32
+    )  # [y, bb, x]
+    s = (
+        qk + jnp.moveaxis(c2p, 0, 1) + jnp.transpose(p2c, (1, 2, 0))
+    ) * (1.0 / scale)
+
+    key_ok = mask_ref[:] > 0  # [bb, blk]
+    s = jnp.where(key_ok[:, None, :], s, -1e30)
+
+    m_prev = m_ref[slc]  # [bb, blk]
+    l_prev = l_ref[slc]
+    m_curr = jnp.max(s, axis=-1)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[..., None])
+    l_ref[slc] = alpha * l_prev + jnp.sum(p, axis=-1)
+    m_ref[slc] = m_next
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[slc] = acc_ref[slc] * alpha[..., None] + pv
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        l_fin = l_ref[slc]
+        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        o_ref[:, 0] = (acc_ref[slc] * l_inv[..., None]).astype(o_ref.dtype)
+
+
+def _pick_batch_block(B: int, blk: int, d: int) -> int:
+    """Largest divisor of B among {64, 32, 16, 8, 4, 2, 1} keeping the fp32
+    tile intermediates (~3 live [bb, blk, blk] tensors) moderate."""
+    for bb in (64, 32, 16, 8, 4, 2, 1):
+        if B % bb == 0 and 3 * bb * blk * blk * 4 <= 8 * 1024 * 1024:
+            return bb
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bb", "blk"))
+def _tiled_call(q, k, v, twc, twq, mask, scale, bb, blk):
+    B, h, S, d = q.shape
+    n = S // blk
+    grid = (h, n, n, B // bb)  # batch innermost: table blocks stay resident
+
+    try:
+        interpret = jax.devices()[0].platform != "tpu"
+    except Exception:
+        interpret = True
+
+    return pl.pallas_call(
+        functools.partial(_tiled_kernel, scale=scale, n_k=n, bb=bb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, 1, blk, d),
+                         lambda ih, iq, ik, ib: (ib, ih, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, blk, d),
+                         lambda ih, iq, ik, ib: (ib, ih, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, blk, d),
+                         lambda ih, iq, ik, ib: (ib, ih, ik, 0),
+                         memory_space=pltpu.VMEM),
+            # c2p window for tile (iq, ik) is block-diagonal ik - iq + n - 1
+            pl.BlockSpec((1, 1, d, blk, blk),
+                         lambda ih, iq, ik, ib: (ih, ik - iq + n - 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # p2c window: offsets x - y with x in iq-block, y in ik-block
+            pl.BlockSpec((1, 1, d, blk, blk),
+                         lambda ih, iq, ik, ib: (ih, iq - ik + n - 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, blk), lambda ih, iq, ik, ib: (ib, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, 1, blk, d),
+                               lambda ih, iq, ik, ib: (ib, ih, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, h, S, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, blk), jnp.float32),
+            pltpu.VMEM((B, blk), jnp.float32),
+            pltpu.VMEM((B, blk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * h * S * S * d * 4,  # qk + pv + c2p + p2c
+            bytes_accessed=B * h * S * d * 4 * q.dtype.itemsize
+            + 2 * h * (2 * n - 1) * d * blk * blk * twc.dtype.itemsize,
+            transcendentals=B * h * S * S,
+        ),
+        interpret=interpret,
+    )(q, k, v, twc, twq, mask)
+
+
+def tiled_bias_attention(
+    q: jax.Array,  # [B, h, S, d]
+    k: jax.Array,
+    v: jax.Array,
+    pos_k_rel: jax.Array,  # [h, 2S-1, d] column-taken c2p table
+    pos_q_rel: jax.Array,  # [h, 2S-1, d] column-taken p2c table
+    attention_mask: jax.Array,  # [B, S] (1 = valid key)
+    scale: float,
+    score_dtype=jnp.float32,
+    blk: int = _FLASH_BLK,
+) -> jax.Array:
+    """Fully fused disentangled attention: windowed absolute tables (HBM
+    footprint ~2 S/blk-th of the full [h,d,S,S] tables, batch-independent) +
+    one flash-style kernel computing content scores, both bias contractions,
+    online softmax and PV with no [B,h,S,*] tensor ever touching HBM.
+
+    Same semantics as the models/deberta.py table path (reference ONNX graph
+    disentangled_attention_bias; transformers deberta-v2 c2p/p2c)."""
+    B, h, S, d = q.shape
+    assert S % blk == 0, (S, blk)
+    twc = _windowed_tables_call(pos_k_rel.astype(score_dtype), blk)
+    # p2c windows index offsets x - y (query-relative): build from the same
+    # relative layout by requesting window iq - ik + n - 1 in the BlockSpec.
+    twq = _windowed_tables_call(pos_q_rel.astype(score_dtype), blk)
+    bb = _pick_batch_block(B, blk, d)
+    return _tiled_call(
+        q, k, v, twc, twq, attention_mask.astype(jnp.int32), scale, bb, blk
+    )
+
+
+def use_tiled_route(S: int, d: int, compute_dtype) -> bool:
+    """Auto routing for :func:`tiled_bias_attention`.
+
+    Measured on v5e (gliclass-base INT8, B=128 full step): supersedes the
+    bias route at S >= 512; 'tiled' forces it at any blk-divisible S (also
+    off-TPU in interpret mode, for tests)."""
+    route = _route()
+    ok = S % _FLASH_BLK == 0 and d % 8 == 0
+    if route == "tiled":
+        return ok
+    if route != "auto":
         return False
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    ok = S % _FLASH_BLK == 0 and d % 8 == 0
-    if route == "bias":
-        return ok  # forced: also engages off-TPU (interpret mode) for tests
     return ok and on_tpu and S >= 512
 
 
+def use_bias_route(S: int, d: int, compute_dtype) -> bool:
+    """Route through table build + XLA bias einsums + bias_fused_attention.
+
+    GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at any
+    blk-divisible S (also off-TPU, interpret mode, for tests); any other
+    non-auto value forces a different path, so this returns False. Under
+    'auto' this route no longer engages — tiled_bias_attention supersedes it
+    (same semantics, no [B,h,S,S] HBM round trips)."""
+    route = _route()
+    ok = S % _FLASH_BLK == 0 and d % 8 == 0
+    if route == "bias":
+        return ok
+    return False
+
+
 def fusable(S: int, d: int, compute_dtype) -> bool:
+    """Whole-row kernel routing. 'row' forces it at any compatible S (also
+    off-TPU for tests); any other non-auto route disables it."""
     import os
 
     if os.environ.get("GLICLASS_TPU_DISABLE_FUSED_ATTN") == "1":
+        return False
+    route = _route()
+    shape_ok = S <= MAX_FUSED_SEQ and S % 8 == 0 and d % 8 == 0
+    if route == "row":
+        return shape_ok
+    if route != "auto":
         return False
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
     if os.environ.get("GLICLASS_TPU_FORCE_FUSED_ATTN") == "1":
-        return on_tpu and S <= MAX_FUSED_SEQ and S % 8 == 0 and d % 8 == 0
-    # Measured on v5e (gliclass-base, B=128, full engine step): the XLA
-    # table-skew path (models/deberta._abs_pos_table) beats this kernel at
-    # S=192 (66.2 vs 110.7 ms) and S=256 (116.9 vs 147.3); at S=512 the kernel
-    # ties (409.3 vs 413.9) while avoiding the ~400MB [h,d,S,S] tables —
-    # engage only at S >= 512. (The kernel's earlier 1.6-2.1x wins were vs the
-    # pre-table XLA path.)
-    return (
-        on_tpu
-        and 512 <= S <= MAX_FUSED_SEQ
-        and S % 128 == 0
-        and d % 8 == 0
-    )
+        return on_tpu and shape_ok
+    # Superseded by tiled_bias_attention under auto routing (measured on
+    # v5e, see use_tiled_route). Kept for A/B via GLICLASS_TPU_ATTN_ROUTE=row.
+    # Historical measurements (gliclass-base, B=128, full engine step): XLA
+    # table-skew beat this kernel at S=192 (66.2 vs 110.7 ms) and S=256
+    # (116.9 vs 147.3); at S=512 it tied (409.3 vs 413.9).
+    return False

@@ -52,10 +52,6 @@ def quantize_dense_param(p: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
-def is_dense_param(x: Any) -> bool:
-    return isinstance(x, dict) and ("w" in x or "w_q" in x) and "scale" not in x.get("ln", {})
-
-
 def quantize_tree(
     params: Any, skip_paths: tuple[str, ...] = ("embeddings", "conv")
 ) -> Any:

@@ -78,19 +78,39 @@ def plan_batches(
     return planned
 
 
+@dataclass
+class BatchFailure:
+    """One planned batch that failed after its retry (SURVEY §5: fail-fast
+    WITH job-level retry — a transient device fault costs one batch one retry,
+    never the job; the reference would crash on it, reference
+    src/postprocessor.c:32-44 NULL deref)."""
+
+    indices: list[int]  # original request positions
+    error: str
+
+    def to_dict(self) -> dict:
+        return {"indices": list(self.indices), "error": self.error}
+
+
 def run_planned(
     engine: InferenceEngine,
     planned: Sequence[PlannedBatch],
     num_requests: int,
     max_label_count: int,
+    failures: list[BatchFailure] | None = None,
 ) -> np.ndarray:
     """Execute planned batches with async pipelining; demux into request order.
 
     Returns probs [num_requests, max_label_count] (f32); slots beyond each
     request's label count are 0.
-    """
-    import jax.numpy as jnp
 
+    Failure semantics: a batch whose dispatch or device execution fails is
+    retried ONCE (fresh dispatch, same inputs). If the retry also fails and
+    ``failures`` is a list, a :class:`BatchFailure` is appended for that
+    batch's texts (their probability rows stay 0) and the rest of the job
+    completes; with ``failures=None`` the second error propagates (callers
+    that cannot report partial results keep fail-fast behavior).
+    """
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
     in_flight: list[tuple[PlannedBatch, Any, int]] = []
 
@@ -98,8 +118,63 @@ def run_planned(
     # and per-batch outputs are tiny ([batch, labels] probabilities), so there
     # is no memory reason to throttle.
     for pb in planned:
-        dev, n = engine.run_async(pb.batch, pb.max_labels)
+        try:
+            dev, n = engine.run_async(pb.batch, pb.max_labels)
+        except Exception as e:
+            _retry_batch(engine, pb, e, out, max_label_count, failures)
+            continue
         in_flight.append((pb, dev, n))
+    _drain_in_flight(engine, in_flight, out, max_label_count, failures)
+    return out
+
+
+def _scatter(pb: PlannedBatch, probs: np.ndarray, out: np.ndarray,
+             max_label_count: int) -> None:
+    width = min(pb.max_labels, max_label_count)
+    out[np.asarray(pb.indices), :width] = probs[:, :width]
+
+
+def _retry_batch(
+    engine: InferenceEngine,
+    pb: PlannedBatch,
+    first_error: Exception,
+    out: np.ndarray,
+    max_label_count: int,
+    failures: list[BatchFailure] | None,
+) -> None:
+    """One synchronous retry (fresh dispatch + transfer); on a second failure
+    record a BatchFailure (or re-raise when no failure channel exists)."""
+    try:
+        _scatter(pb, engine.run(pb.batch, pb.max_labels), out, max_label_count)
+    except Exception as retry_error:
+        if failures is None:
+            raise
+        failures.append(
+            BatchFailure(
+                pb.indices,
+                f"{type(first_error).__name__}: {first_error} "
+                f"(retry: {type(retry_error).__name__}: {retry_error})",
+            )
+        )
+
+
+def _drain_in_flight(
+    engine: InferenceEngine,
+    in_flight: list[tuple[PlannedBatch, Any, int]],
+    out: np.ndarray,
+    max_label_count: int,
+    failures: list[BatchFailure] | None,
+) -> None:
+    """Collect dispatched batches into ``out`` (request order)."""
+    import jax.numpy as jnp
+
+    def drain_one(pb: PlannedBatch, dev, n: int) -> None:
+        try:
+            probs = np.asarray(dev)[:n]
+        except Exception as e:
+            _retry_batch(engine, pb, e, out, max_label_count, failures)
+            return
+        _scatter(pb, probs, out, max_label_count)
 
     if len(in_flight) > 1:
         # One device-side concat + a single host transfer instead of one
@@ -107,24 +182,26 @@ def run_planned(
         # Width-padding is semantics-free: padded label slots are probability
         # exactly 0 by the head's hard mask.
         wmax = max(dev.shape[1] for _, dev, _ in in_flight)
-        padded = [
-            dev if dev.shape[1] == wmax else jnp.pad(dev, ((0, 0), (0, wmax - dev.shape[1])))
-            for _, dev, _ in in_flight
-        ]
-        flat = np.asarray(jnp.concatenate(padded, axis=0))
+        try:
+            padded = [
+                dev if dev.shape[1] == wmax else jnp.pad(dev, ((0, 0), (0, wmax - dev.shape[1])))
+                for _, dev, _ in in_flight
+            ]
+            flat = np.asarray(jnp.concatenate(padded, axis=0))
+        except Exception:
+            # The single transfer hides WHICH batch failed: fall back to
+            # per-batch transfers so the fault is isolated and retried alone.
+            for pb, dev, n in in_flight:
+                drain_one(pb, dev, n)
+            return
         row = 0
         for pb, dev, n in in_flight:
             rows = dev.shape[0]
-            probs = flat[row : row + n]
+            _scatter(pb, flat[row : row + n], out, max_label_count)
             row += rows
-            width = min(pb.max_labels, max_label_count)
-            out[np.asarray(pb.indices), :width] = probs[:, :width]
     else:
         for pb, dev, n in in_flight:
-            probs = np.asarray(dev)[:n]
-            width = min(pb.max_labels, max_label_count)
-            out[np.asarray(pb.indices), :width] = probs[:, :width]
-    return out
+            drain_one(pb, dev, n)
 
 
 def plan_and_run_overlapped(
@@ -136,6 +213,7 @@ def plan_and_run_overlapped(
     num_requests: int,
     max_label_count: int,
     chunk: int = 256,
+    failures: list[BatchFailure] | None = None,
 ) -> np.ndarray:
     """Tokenize-and-dispatch pipeline: bucketed batches go to the device as
     soon as they fill, while the host tokenizes the next chunk.
@@ -143,15 +221,14 @@ def plan_and_run_overlapped(
     XLA dispatch is async, so the device crunches batch k while the Rust
     tokenizer (GIL-releasing) encodes chunk k+1 — tokenization time hides
     entirely under device time for jobs larger than one chunk. Semantically
-    identical to plan_batches + run_planned (same bucketing, same demux); the
-    reference's three-phase barrier design made this impossible (reference
-    main.c:116-155).
+    identical to plan_batches + run_planned (same bucketing, same demux, same
+    one-retry-then-isolate failure handling); the reference's three-phase
+    barrier design made this impossible (reference main.c:116-155).
     """
-    import jax.numpy as jnp
-
     bs = runtime.batch_size
     accum: dict[tuple[int, int], list[tuple[int, np.ndarray, int]]] = {}
-    in_flight: list[tuple[list[int], Any, int, int]] = []  # idxs, dev, n, lb
+    in_flight: list[tuple[PlannedBatch, Any, int]] = []
+    out = np.zeros((num_requests, max_label_count), dtype=np.float32)
 
     def dispatch(key: tuple[int, int], idxs_rows: list[tuple[int, np.ndarray, int]]):
         sb, lb = key
@@ -164,8 +241,13 @@ def plan_and_run_overlapped(
             mask[row, :L] = 1
             lens[row] = L
             idxs.append(i)
-        dev, n = engine.run_async(TokenizedBatch(ids, mask, lens), lb)
-        in_flight.append((idxs, dev, n, lb))
+        pb = PlannedBatch(idxs, TokenizedBatch(ids, mask, lens), lb)
+        try:
+            dev, n = engine.run_async(pb.batch, pb.max_labels)
+        except Exception as e:
+            _retry_batch(engine, pb, e, out, max_label_count, failures)
+            return
+        in_flight.append((pb, dev, n))
 
     for c0 in range(0, len(prompts), chunk):
         enc = tokenizer.encode_batch_parallel(
@@ -184,29 +266,7 @@ def plan_and_run_overlapped(
     for key in sorted(accum):
         dispatch(key, accum.pop(key))
 
-    out = np.zeros((num_requests, max_label_count), dtype=np.float32)
-    if not in_flight:
-        return out
-    if len(in_flight) > 1:
-        # Single device-side concat + one host transfer (see run_planned).
-        wmax = max(dev.shape[1] for _, dev, _, _ in in_flight)
-        padded = [
-            dev if dev.shape[1] == wmax
-            else jnp.pad(dev, ((0, 0), (0, wmax - dev.shape[1])))
-            for _, dev, _, _ in in_flight
-        ]
-        flat = np.asarray(jnp.concatenate(padded, axis=0))
-        row = 0
-        for idxs, dev, n, lb in in_flight:
-            probs = flat[row : row + n]
-            row += dev.shape[0]
-            width = min(lb, max_label_count)
-            out[np.asarray(idxs), :width] = probs[:, :width]
-    else:
-        idxs, dev, n, lb = in_flight[0]
-        probs = np.asarray(dev)[:n]
-        width = min(lb, max_label_count)
-        out[np.asarray(idxs), :width] = probs[:, :width]
+    _drain_in_flight(engine, in_flight, out, max_label_count, failures)
     return out
 
 
@@ -260,20 +320,26 @@ class StreamingScheduler:
         self._q: queue.Queue[_Request | None] = queue.Queue(maxsize=max_pending)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
+        # Guards the {check _running -> enqueue} pair in submit() against
+        # close(): without it a request enqueued between close()'s flag flip
+        # and its drain loop would hold a Future that is never resolved (the
+        # caller would block until its timeout instead of failing fast).
+        self._submit_lock = threading.Lock()
         self._thread.start()
 
     def submit(self, text: str, labels: Sequence[str], prompt_first: bool) -> Future:
         """Returns a Future resolving to probs np.ndarray [len(labels)]."""
-        if not self._running:
-            raise SchedulerClosed("scheduler is closed")
         prompt = pack_prompt(text, labels, prompt_first)
         req = _Request(prompt, len(labels))
-        try:
-            self._q.put_nowait(req)
-        except queue.Full:
-            raise SchedulerOverloaded(
-                f"request queue full ({self._q.maxsize} pending)"
-            ) from None
+        with self._submit_lock:
+            if not self._running:
+                raise SchedulerClosed("scheduler is closed")
+            try:
+                self._q.put_nowait(req)
+            except queue.Full:
+                raise SchedulerOverloaded(
+                    f"request queue full ({self._q.maxsize} pending)"
+                ) from None
         return req.future
 
     def close(self):
@@ -282,8 +348,11 @@ class StreamingScheduler:
         In-flight batches finish and fulfil their futures; queued-but-unstarted
         requests get :class:`SchedulerClosed` so callers blocked on
         ``future.result()`` wake immediately instead of hitting their timeout.
+        The submit lock orders the flag flip before the drain: any submit that
+        saw ``_running`` true has already enqueued, so the drain below sees it.
         """
-        self._running = False
+        with self._submit_lock:
+            self._running = False
         try:
             self._q.put(None, timeout=5)
         except queue.Full:
@@ -332,9 +401,18 @@ class StreamingScheduler:
                     self.runtime,
                 )
                 maxw = max(r.num_labels for r in reqs)
-                probs = run_planned(self.engine, planned, len(reqs), maxw)
+                failures: list[BatchFailure] = []
+                probs = run_planned(
+                    self.engine, planned, len(reqs), maxw, failures=failures
+                )
+                failed = {
+                    i: f.error for f in failures for i in f.indices
+                }  # only the faulty batch's requests fail (post-retry)
                 for i, r in enumerate(reqs):
-                    r.future.set_result(probs[i, : r.num_labels])
+                    if i in failed:
+                        r.future.set_exception(RuntimeError(failed[i]))
+                    else:
+                        r.future.set_result(probs[i, : r.num_labels])
             except Exception as e:  # fail every request of the batch, not the loop
                 for r in reqs:
                     if not r.future.done():

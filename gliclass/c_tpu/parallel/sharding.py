@@ -85,15 +85,29 @@ def _divisible(leaf, spec: P, tp: int) -> bool:
 
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
-    """device_put every leaf with its TP sharding (replicating any leaf whose
-    sharded dim does not divide by the TP size)."""
+    """Place every leaf with its TP sharding (replicating any leaf whose
+    sharded dim does not divide by the TP size).
+
+    On a multi-process mesh every host holds the full tree (same bundle on
+    disk), so each leaf is assembled as a global array from the host-local
+    copy instead of device_put (which requires addressable-only shardings)."""
+    import numpy as np
+
     tp = mesh.shape[MODEL_AXIS]
     specs = param_pspecs(params)
+    multiprocess = any(
+        d.process_index != jax.process_index()
+        for d in np.asarray(mesh.devices).flat
+    )
 
     def place(leaf, spec):
         if tp > 1 and not _divisible(leaf, spec, tp):
             spec = P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if multiprocess:
+            host = np.asarray(leaf)
+            return jax.make_array_from_process_local_data(sh, host, host.shape)
+        return jax.device_put(leaf, sh)
 
     return jax.tree.map(place, params, specs)
 

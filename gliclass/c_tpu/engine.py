@@ -31,6 +31,7 @@ from .parallel.mesh import (
     P,
     make_mesh,
     seq_sharding,
+    stack_sharding,
 )
 from .parallel.sharding import shard_params, shard_spec_tree
 from .tokenization import TokenizedBatch
@@ -157,6 +158,44 @@ class InferenceEngine:
             self._steps[key] = step
         return step
 
+    def _get_stack_step(self, seq_len: int, max_labels: int, nb: int):
+        """One executable running ``nb`` same-shape batches via ``lax.scan``.
+
+        Exists because each executable LAUNCH carries a fixed host-side cost
+        (~25ms through a tunneled PJRT stack, ~50us locally) that dwarfs the
+        ~6ms device step at serving shapes — one launch per shape bucket
+        instead of one per batch moves that cost off the critical path. The
+        reference pays the per-batch equivalent on every ``session.Run``
+        (reference src/model.c:159); XLA lets us fold the batch loop into the
+        compiled program instead."""
+        key = ("stack", seq_len, max_labels, nb)
+        step = self._steps.get(key)
+        if step is None:
+            cfg, dtype = self.cfg, self.compute_dtype
+            in_sharding = stack_sharding(self.mesh, seq_len)
+
+            def fwd(params, input_ids, attention_mask):
+                def body(_, xs):
+                    ids, mask = xs
+                    return None, gliclass_probs(
+                        params, ids, mask, cfg, max_labels, dtype
+                    )
+
+                _, probs = jax.lax.scan(body, None, (input_ids, attention_mask))
+                return probs
+
+            out_sharding = NamedSharding(
+                self.mesh,
+                P() if self._multiprocess else P(None, DATA_AXIS, None),
+            )
+            step = jax.jit(
+                fwd,
+                in_shardings=(self._param_shardings, in_sharding, in_sharding),
+                out_shardings=out_sharding,
+            )
+            self._steps[key] = step
+        return step
+
     # ------------------------------------------------------------------
     def _pad_batch(self, batch: TokenizedBatch) -> tuple[np.ndarray, np.ndarray, int]:
         """Pad the batch dim up to a multiple of dp rows so the data axis
@@ -192,6 +231,29 @@ class InferenceEngine:
             jax.make_array_from_process_local_data(sh, mask, mask.shape),
         )
 
+    def stack_batches(
+        self, batches: list[TokenizedBatch]
+    ) -> tuple[np.ndarray, np.ndarray, list[int]]:
+        """Stack same-seq-length batches into [nb, B0, S] host arrays for
+        :meth:`run_stacked_async`; padded rows follow the :meth:`_pad_batch`
+        convention (fully masked, one valid pad token). Returns (ids, mask,
+        valid-row counts)."""
+        dp = max(self.mesh.shape[DATA_AXIS], 1)
+        B0 = -(-max(b.batch_size for b in batches) // dp) * dp
+        S = batches[0].seq_length
+        ids = np.zeros((len(batches), B0, S), dtype=np.int32)
+        mask = np.zeros((len(batches), B0, S), dtype=np.int32)
+        rows: list[int] = []
+        for i, b in enumerate(batches):
+            n = b.batch_size
+            ids[i, :n] = b.input_ids
+            mask[i, :n] = b.attention_mask
+            if n < B0:
+                ids[i, n:, 0] = self.cfg.backbone.pad_token_id
+                mask[i, n:, 0] = 1
+            rows.append(n)
+        return ids, mask, rows
+
     def run(self, batch: TokenizedBatch, max_labels: int) -> np.ndarray:
         """Tokenized batch -> per-label probabilities [batch, max_labels] (f32).
 
@@ -211,6 +273,26 @@ class InferenceEngine:
         ids, mask, n = self._pad_batch(batch)
         step = self._get_step(ids.shape[1], max_labels)
         return step(self.params, *self._device_inputs(ids, mask)), n
+
+    def run_stacked_async(
+        self, ids: np.ndarray, mask: np.ndarray, max_labels: int
+    ):
+        """Dispatch ``nb`` same-shape batches as ONE executable launch.
+
+        ``ids``/``mask``: [nb, B, S] with padded rows fully masked except one
+        pad token (the :meth:`_pad_batch` convention — the caller stacks).
+        Returns the device array [nb, B, max_labels]; probabilities for padded
+        rows/label slots are garbage/0 respectively and must be sliced off by
+        the caller."""
+        step = self._get_stack_step(ids.shape[2], max_labels, ids.shape[0])
+        if not self._multiprocess:
+            return step(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        sh = stack_sharding(self.mesh, ids.shape[2])
+        return step(
+            self.params,
+            jax.make_array_from_process_local_data(sh, ids, ids.shape),
+            jax.make_array_from_process_local_data(sh, mask, mask.shape),
+        )
 
     # ------------------------------------------------------------------
     @classmethod

@@ -656,7 +656,10 @@ def _win_table_kernel(win_ref, e_ref, o_ref):
     w = win_ref[0, 0]  # [2blk, d]
     wt = jnp.swapaxes(w, 0, 1)  # [d, 2blk]
     t = jnp.dot(wt, e_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0, 0] = t.reshape(o_ref.shape[2:]).astype(o_ref.dtype)
+    # Written flat [d, blk*blk]: Mosaic cannot lane-split a reshape like
+    # [d, blk^2] -> [d, blk, blk] for blk < 128; the caller bitcast-reshapes
+    # the contiguous output in XLA instead.
+    o_ref[0, 0] = t.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("blk",))
@@ -688,7 +691,7 @@ def _windowed_tables_call(pos_rel, blk):
         interpret = jax.devices()[0].platform != "tpu"
     except Exception:
         interpret = True
-    return pl.pallas_call(
+    flat = pl.pallas_call(
         _win_table_kernel,
         grid=(h, n_win),
         in_specs=[
@@ -702,10 +705,10 @@ def _windowed_tables_call(pos_rel, blk):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, d, blk, blk), lambda ih, iw: (ih, iw, 0, 0, 0),
+            (1, 1, d, blk * blk), lambda ih, iw: (ih, iw, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((h, n_win, d, blk, blk), pos_rel.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, n_win, d, blk * blk), pos_rel.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * h * n_win * d * 2 * blk * blk * blk,
             bytes_accessed=h * n_win * d * blk * blk * pos_rel.dtype.itemsize,
@@ -713,6 +716,7 @@ def _windowed_tables_call(pos_rel, blk):
         ),
         interpret=interpret,
     )(win, E)
+    return flat.reshape(h, n_win, d, blk, blk)  # contiguous: bitcast in XLA
 
 
 def _tiled_kernel(
@@ -738,19 +742,30 @@ def _tiled_kernel(
     qk = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [bb, x, y]
+    # Mosaic requires the batch dim of an in-kernel batched matmul at
+    # position 0 in BOTH operands ("batch dims pos must be 0"), so the
+    # x/y-batched bias contractions transpose their operands first.
     # c2p[b, x, y] = sum_e q[b, x, e] * twc[e, x, y]: batch over x, contract e
     c2p = jax.lax.dot_general(
-        q, twc, (((2,), (0,)), ((1,), (1,))), preferred_element_type=jnp.float32
+        jnp.swapaxes(q, 0, 1),  # [x, bb, e]
+        jnp.swapaxes(twc, 0, 1),  # [x, e, y]
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )  # [x, bb, y]
     # p2c[b, x, y] = sum_e k[b, y, e] * twq[e, y, x]: batch over y, contract e
     p2c = jax.lax.dot_general(
-        k, twq, (((2,), (0,)), ((1,), (1,))), preferred_element_type=jnp.float32
+        jnp.swapaxes(k, 0, 1),  # [y, bb, e]
+        jnp.swapaxes(twq, 0, 1),  # [y, e, x]
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )  # [y, bb, x]
     s = (
         qk + jnp.moveaxis(c2p, 0, 1) + jnp.transpose(p2c, (1, 2, 0))
     ) * (1.0 / scale)
 
-    key_ok = mask_ref[:] > 0  # [bb, blk]
+    # mask arrives pre-tiled [n, B, blk] so the BlockSpec picks this k-tile
+    # (dynamic lane slices must be 128-aligned; blk can be 64 or 32).
+    key_ok = mask_ref[0] > 0  # [bb, blk]
     s = jnp.where(key_ok[:, None, :], s, -1e30)
 
     m_prev = m_ref[slc]  # [bb, blk]
@@ -775,13 +790,34 @@ def _tiled_kernel(
         o_ref[:, 0] = (acc_ref[slc] * l_inv[..., None]).astype(o_ref.dtype)
 
 
-def _pick_batch_block(B: int, blk: int, d: int) -> int:
-    """Largest divisor of B among {64, 32, 16, 8, 4, 2, 1} keeping the fp32
-    tile intermediates (~3 live [bb, blk, blk] tensors) moderate."""
-    for bb in (64, 32, 16, 8, 4, 2, 1):
-        if B % bb == 0 and 3 * bb * blk * blk * 4 <= 8 * 1024 * 1024:
-            return bb
-    return 1
+def _pick_tiled_cfg(B: int, S: int, d: int, esize: int) -> tuple[int, int] | None:
+    """Joint (blk, bb) choice for the tiled kernel under Mosaic's ~16MB scoped
+    VMEM limit (measured on v5e: blk=128 with double-buffered [d,128,128]
+    tables + the B-scaled accumulator allocates 20.8MB and fails to compile).
+    Prefers the largest fitting blk (fewer q/k/v re-fetches), then the largest
+    bb (table blocks amortize over B/bb grid steps). Returns None when even
+    the smallest tiling exceeds the budget (caller falls back to the bias
+    route)."""
+    # Headroom under the 16MB scoped limit: Mosaic's stack temporaries
+    # (operand transposes, dot copies) run ~1.7x this estimate (measured:
+    # estimate 9.9MB -> 16.77MB allocated at blk=64, bb=32).
+    budget = 8 * 1024 * 1024
+    for blk in (128, 64, 32):
+        if S % blk:
+            continue
+        for bb in (64, 32, 16, 8, 4, 2, 1):
+            if B % bb:
+                continue
+            vmem = (
+                4 * bb * blk * d * esize * 2  # q/k/v/o blocks, double-buffered
+                + 2 * d * blk * blk * esize * 2  # twc/twq blocks, double-buffered
+                + B * blk * d * 4  # acc scratch (all B rows live: batch-innermost)
+                + 2 * B * blk * 4  # m/l scratch
+                + 7 * bb * blk * blk * 4  # fp32 tile intermediates
+            )
+            if vmem <= budget:
+                return blk, bb
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "bb", "blk"))
@@ -789,6 +825,10 @@ def _tiled_call(q, k, v, twc, twq, mask, scale, bb, blk):
     B, h, S, d = q.shape
     n = S // blk
     grid = (h, n, n, B // bb)  # batch innermost: table blocks stay resident
+    # Pre-tile the key mask per k-block: [B, S] -> [n, B, blk] so the
+    # BlockSpec (not an in-kernel dynamic lane slice, which Mosaic requires
+    # to be 128-aligned) selects the tile.
+    mask = jnp.moveaxis(mask.reshape(B, n, blk), 1, 0)
 
     try:
         interpret = jax.devices()[0].platform != "tpu"
@@ -816,7 +856,7 @@ def _tiled_call(q, k, v, twc, twq, mask, scale, bb, blk):
             pl.BlockSpec((1, 1, d, blk, blk),
                          lambda ih, iq, ik, ib: (ih, iq - ik + n - 1, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, blk), lambda ih, iq, ik, ib: (ib, ik),
+            pl.BlockSpec((1, bb, blk), lambda ih, iq, ik, ib: (ik, ib, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, 1, blk, d),
@@ -850,7 +890,7 @@ def tiled_bias_attention(
     attention_mask: jax.Array,  # [B, S] (1 = valid key)
     scale: float,
     score_dtype=jnp.float32,
-    blk: int = _FLASH_BLK,
+    blk: int | None = None,
 ) -> jax.Array:
     """Fully fused disentangled attention: windowed absolute tables (HBM
     footprint ~2 S/blk-th of the full [h,d,S,S] tables, batch-independent) +
@@ -860,26 +900,57 @@ def tiled_bias_attention(
     Same semantics as the models/deberta.py table path (reference ONNX graph
     disentangled_attention_bias; transformers deberta-v2 c2p/p2c)."""
     B, h, S, d = q.shape
-    assert S % blk == 0, (S, blk)
+    if blk is not None:  # explicit override (tests, tuning)
+        assert S % blk == 0, (S, blk)
+        bb = next(b for b in (64, 32, 16, 8, 4, 2, 1) if B % b == 0)
+    else:
+        cfg = _pick_tiled_cfg(B, S, d, jnp.dtype(score_dtype).itemsize)
+        if cfg is None:
+            # Even the smallest tiling exceeds the scoped VMEM budget (huge
+            # B): the bias route has the same numerics contract.
+            return table_bias_attention(
+                q, k, v, pos_k_rel, pos_q_rel, attention_mask, scale,
+                score_dtype=score_dtype,
+            )
+        blk, bb = cfg
     twc = _windowed_tables_call(pos_k_rel.astype(score_dtype), blk)
     # p2c windows index offsets x - y (query-relative): build from the same
     # relative layout by requesting window iq - ik + n - 1 in the BlockSpec.
     twq = _windowed_tables_call(pos_q_rel.astype(score_dtype), blk)
-    bb = _pick_batch_block(B, blk, d)
     return _tiled_call(
         q, k, v, twc, twq, attention_mask.astype(jnp.int32), scale, bb, blk
     )
 
 
 def use_tiled_route(S: int, d: int, compute_dtype) -> bool:
-    """Auto routing for :func:`tiled_bias_attention`.
+    """Routing for :func:`tiled_bias_attention` — OPT-IN ONLY
+    (GLICLASS_TPU_ATTN_ROUTE=tiled).
 
-    Measured on v5e (gliclass-base INT8, B=128 full step): supersedes the
-    bias route at S >= 512; 'tiled' forces it at any blk-divisible S (also
-    off-TPU in interpret mode, for tests)."""
+    Measured on v5e (gliclass-base INT8, B=128 full step, S=512): 1165 ms vs
+    330 ms for the bias route. The kernel is numerically exact (max|diff| = 0
+    vs the bias route on the full engine step) and eliminates all [B,h,S,S]
+    HBM traffic, but under Mosaic's 16MB scoped-VMEM limit it only fits at
+    blk=64/bb=16, where the in-kernel operand transposes and the tiny
+    [16]x[64,64]x[64,64] batched MXU contractions dominate — HBM savings
+    cannot buy back a 3.5x compute regression. Kept as a verified-correct
+    A/B path; the default S >= 512 route is table_bias_attention."""
+    route = _route()
+    # _pick_tiled_cfg can tile down to blk=32, so any S divisible by 32
+    # qualifies (the picker, not this predicate, owns the block choice).
+    return route == "tiled" and S % 32 == 0 and d % 8 == 0
+
+
+def use_bias_route(S: int, d: int, compute_dtype) -> bool:
+    """Route through table build + XLA bias einsums + bias_fused_attention —
+    the DEFAULT serving path at S >= 512 (measured fastest on v5e: 330 ms vs
+    row 406 / table 912 / tiled 1165 ms for the full [128, 512] INT8 step).
+
+    GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at any
+    blk-divisible S (also off-TPU, interpret mode, for tests); any other
+    non-auto value forces a different path, so this returns False."""
     route = _route()
     ok = S % _FLASH_BLK == 0 and d % 8 == 0
-    if route == "tiled":
+    if route == "bias":
         return ok
     if route != "auto":
         return False
@@ -888,21 +959,6 @@ def use_tiled_route(S: int, d: int, compute_dtype) -> bool:
     except Exception:
         on_tpu = False
     return ok and on_tpu and S >= 512
-
-
-def use_bias_route(S: int, d: int, compute_dtype) -> bool:
-    """Route through table build + XLA bias einsums + bias_fused_attention.
-
-    GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at any
-    blk-divisible S (also off-TPU, interpret mode, for tests); any other
-    non-auto value forces a different path, so this returns False. Under
-    'auto' this route no longer engages — tiled_bias_attention supersedes it
-    (same semantics, no [B,h,S,S] HBM round trips)."""
-    route = _route()
-    ok = S % _FLASH_BLK == 0 and d % 8 == 0
-    if route == "bias":
-        return ok
-    return False
 
 
 def fusable(S: int, d: int, compute_dtype) -> bool:

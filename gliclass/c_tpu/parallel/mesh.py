@@ -71,3 +71,13 @@ def seq_sharding(mesh: Mesh, seq_len: int | None = None) -> NamedSharding:
     if sp > 1 and (seq_len is None or seq_len % sp == 0):
         return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS, None))
+
+
+def stack_sharding(mesh: Mesh, seq_len: int | None = None) -> NamedSharding:
+    """[nb, B, S] sharding for stacked (scan-over-batches) steps: the stack
+    axis is the device-side loop (replicated); batch/tokens shard as in
+    :func:`seq_sharding`."""
+    sp = mesh.shape[SEQ_AXIS]
+    if sp > 1 and (seq_len is None or seq_len % sp == 0):
+        return NamedSharding(mesh, P(None, DATA_AXIS, SEQ_AXIS))
+    return NamedSharding(mesh, P(None, DATA_AXIS, None))

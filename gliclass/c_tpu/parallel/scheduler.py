@@ -92,6 +92,12 @@ class BatchFailure:
         return {"indices": list(self.indices), "error": self.error}
 
 
+# Compile-variety bound: at most this many batches fold into one stacked
+# executable, so each (seq, labels) bucket compiles at most _MAX_STACK
+# distinct stack depths (all persisted in the on-disk compile cache).
+_MAX_STACK = 16
+
+
 def run_planned(
     engine: InferenceEngine,
     planned: Sequence[PlannedBatch],
@@ -104,26 +110,55 @@ def run_planned(
     Returns probs [num_requests, max_label_count] (f32); slots beyond each
     request's label count are 0.
 
-    Failure semantics: a batch whose dispatch or device execution fails is
-    retried ONCE (fresh dispatch, same inputs). If the retry also fails and
-    ``failures`` is a list, a :class:`BatchFailure` is appended for that
-    batch's texts (their probability rows stay 0) and the rest of the job
-    completes; with ``failures=None`` the second error propagates (callers
-    that cannot report partial results keep fail-fast behavior).
+    Batches of the same (seq bucket, label bucket) are STACKED into one
+    executable launch (``lax.scan`` over the stack inside the jit) — each
+    launch carries a fixed host cost that at serving shapes exceeds the
+    per-batch device time several-fold (engine._get_stack_step), so a job
+    costs one launch per shape bucket, not one per batch.
+
+    Failure semantics: a stacked launch that fails is decomposed — each of its
+    batches is re-dispatched ONCE individually (fresh dispatch, same inputs).
+    A single batch whose dispatch/execution fails is likewise retried ONCE.
+    If the retry also fails and ``failures`` is a list, a
+    :class:`BatchFailure` is appended for that batch's texts (their
+    probability rows stay 0) and the rest of the job completes; with
+    ``failures=None`` the second error propagates (callers that cannot report
+    partial results keep fail-fast behavior).
     """
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
-    in_flight: list[tuple[PlannedBatch, Any, int]] = []
+    in_flight: list[_InFlight] = []
 
-    # Dispatch everything first: XLA queues the steps back-to-back on device,
-    # and per-batch outputs are tiny ([batch, labels] probabilities), so there
-    # is no memory reason to throttle.
+    # Stack only batches of IDENTICAL row count (grouping key includes it):
+    # padding a 10-row tail batch to 128 rows inside a stack costs a full
+    # extra device step (~15ms at [128,96]) to save one ~4ms launch.
+    groups: dict[tuple[int, int, int], list[PlannedBatch]] = {}
     for pb in planned:
-        try:
-            dev, n = engine.run_async(pb.batch, pb.max_labels)
-        except Exception as e:
-            _retry_batch(engine, pb, e, out, max_label_count, failures)
-            continue
-        in_flight.append((pb, dev, n))
+        key = (pb.batch.seq_length, pb.max_labels, pb.batch.batch_size)
+        groups.setdefault(key, []).append(pb)
+
+    # Dispatch everything first: XLA queues the launches back-to-back on
+    # device, and per-batch outputs are tiny ([batch, labels] probabilities),
+    # so there is no memory reason to throttle.
+    for (_, max_labels, _), pbs in sorted(groups.items()):
+        for c0 in range(0, len(pbs), _MAX_STACK):
+            chunk = pbs[c0 : c0 + _MAX_STACK]
+            if len(chunk) == 1:
+                pb = chunk[0]
+                try:
+                    dev, n = engine.run_async(pb.batch, pb.max_labels)
+                except Exception as e:
+                    _retry_batch(engine, pb, e, out, max_label_count, failures)
+                    continue
+                in_flight.append(_InFlight([pb], dev, [n]))
+                continue
+            ids, mask, rows = engine.stack_batches([pb.batch for pb in chunk])
+            try:
+                dev = engine.run_stacked_async(ids, mask, max_labels)
+            except Exception as e:
+                for pb in chunk:
+                    _retry_batch(engine, pb, e, out, max_label_count, failures)
+                continue
+            in_flight.append(_InFlight(chunk, dev, rows))
     _drain_in_flight(engine, in_flight, out, max_label_count, failures)
     return out
 
@@ -158,50 +193,80 @@ def _retry_batch(
         )
 
 
+@dataclass
+class _InFlight:
+    """One dispatched launch: a single batch (dev [B, L]) or a stacked group
+    (dev [nb, B0, L]); ``rows`` holds each batch's valid row count."""
+
+    pbs: list[PlannedBatch]
+    dev: Any
+    rows: list[int]
+
+    @property
+    def stacked(self) -> bool:
+        return len(self.pbs) > 1
+
+
 def _drain_in_flight(
     engine: InferenceEngine,
-    in_flight: list[tuple[PlannedBatch, Any, int]],
+    in_flight: list[_InFlight],
     out: np.ndarray,
     max_label_count: int,
     failures: list[BatchFailure] | None,
 ) -> None:
-    """Collect dispatched batches into ``out`` (request order)."""
+    """Collect dispatched launches into ``out`` (request order)."""
     import jax.numpy as jnp
 
-    def drain_one(pb: PlannedBatch, dev, n: int) -> None:
+    def drain_one(fl: _InFlight) -> None:
         try:
-            probs = np.asarray(dev)[:n]
+            probs = np.asarray(fl.dev)
         except Exception as e:
-            _retry_batch(engine, pb, e, out, max_label_count, failures)
+            for pb in fl.pbs:
+                _retry_batch(engine, pb, e, out, max_label_count, failures)
             return
-        _scatter(pb, probs, out, max_label_count)
+        if fl.stacked:
+            for i, pb in enumerate(fl.pbs):
+                _scatter(pb, probs[i, : fl.rows[i]], out, max_label_count)
+        else:
+            _scatter(fl.pbs[0], probs[: fl.rows[0]], out, max_label_count)
 
     if len(in_flight) > 1:
         # One device-side concat + a single host transfer instead of one
-        # round-trip per batch (host<->device latency is the per-step tax).
+        # round-trip per launch (host<->device latency is the per-step tax).
         # Width-padding is semantics-free: padded label slots are probability
         # exactly 0 by the head's hard mask.
-        wmax = max(dev.shape[1] for _, dev, _ in in_flight)
+        wmax = max(fl.dev.shape[-1] for fl in in_flight)
         try:
-            padded = [
-                dev if dev.shape[1] == wmax else jnp.pad(dev, ((0, 0), (0, wmax - dev.shape[1])))
-                for _, dev, _ in in_flight
-            ]
+            padded = []
+            for fl in in_flight:
+                dev = fl.dev
+                if dev.ndim == 3:
+                    dev = dev.reshape(-1, dev.shape[-1])
+                if dev.shape[-1] != wmax:
+                    dev = jnp.pad(dev, ((0, 0), (0, wmax - dev.shape[-1])))
+                padded.append(dev)
             flat = np.asarray(jnp.concatenate(padded, axis=0))
         except Exception:
-            # The single transfer hides WHICH batch failed: fall back to
-            # per-batch transfers so the fault is isolated and retried alone.
-            for pb, dev, n in in_flight:
-                drain_one(pb, dev, n)
+            # The single transfer hides WHICH launch failed: fall back to
+            # per-launch transfers so the fault is isolated and retried alone.
+            for fl in in_flight:
+                drain_one(fl)
             return
         row = 0
-        for pb, dev, n in in_flight:
-            rows = dev.shape[0]
-            _scatter(pb, flat[row : row + n], out, max_label_count)
-            row += rows
+        for fl in in_flight:
+            if fl.stacked:
+                B0 = fl.dev.shape[1]
+                for i, pb in enumerate(fl.pbs):
+                    _scatter(pb, flat[row + i * B0 : row + i * B0 + fl.rows[i]],
+                             out, max_label_count)
+                row += len(fl.pbs) * B0
+            else:
+                _scatter(fl.pbs[0], flat[row : row + fl.rows[0]], out,
+                         max_label_count)
+                row += fl.dev.shape[0]
     else:
-        for pb, dev, n in in_flight:
-            drain_one(pb, dev, n)
+        for fl in in_flight:
+            drain_one(fl)
 
 
 def plan_and_run_overlapped(
@@ -227,7 +292,7 @@ def plan_and_run_overlapped(
     """
     bs = runtime.batch_size
     accum: dict[tuple[int, int], list[tuple[int, np.ndarray, int]]] = {}
-    in_flight: list[tuple[PlannedBatch, Any, int]] = []
+    in_flight: list[_InFlight] = []
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
 
     def dispatch(key: tuple[int, int], idxs_rows: list[tuple[int, np.ndarray, int]]):
@@ -247,7 +312,7 @@ def plan_and_run_overlapped(
         except Exception as e:
             _retry_batch(engine, pb, e, out, max_label_count, failures)
             return
-        in_flight.append((pb, dev, n))
+        in_flight.append(_InFlight([pb], dev, [n]))
 
     for c0 in range(0, len(prompts), chunk):
         enc = tokenizer.encode_batch_parallel(

@@ -212,7 +212,7 @@ def per_kernel_report(
     seq: int,
     quant_mode: str = "int8",
     chip: str = "v5e",
-    iters: int = 10,
+    iters: int = 8,
 ) -> list[dict]:
     """Measure each hot component in isolation at the step's shapes and price
     it against its own speed-of-light.
@@ -220,9 +220,17 @@ def per_kernel_report(
     Components are the REAL serving building blocks (ops.layers.linear with
     INT8 dispatch, models.deberta.disentangled_attention with its measured
     routing), not reimplementations — so a regression in any of them moves
-    this table. One jit per probe; timing amortizes the host round-trip over
-    ``iters`` back-to-back dispatches with a single terminal block (the
-    per-call block_until_ready pattern under-reports on tunneled stacks).
+    this table.
+
+    Timing methodology (two lessons from tunneled PJRT stacks, where a launch
+    costs ~2-4ms of host time and ``block_until_ready`` under-reports):
+      * each probe runs as a ``lax.scan`` CHAIN (output feeds the next
+        iteration's input) inside one jit, so per-iteration time is pure
+        device time and XLA cannot CSE the loop body away (a same-input scan
+        gets hoisted and measures one iteration — observed);
+      * the reported ms is the difference between a ``2*iters``-long and an
+        ``iters``-long chain divided by ``iters``, cancelling launch overhead
+        and the transfer round-trip exactly.
     """
     import time
 
@@ -264,17 +272,14 @@ def per_kernel_report(
     pair_mask = jnp.ones((batch, seq, seq), bool)
     c2p_cols, p2c_cols = jnp.asarray(c2p_np), jnp.asarray(p2c_np)
 
-    @jax.jit
     def probe_qkv_o(x):
         return linear(p_o, linear(p_v, x, dtype), dtype) + linear(
             p_k, x, dtype
         ) + linear(p_q, x, dtype)
 
-    @jax.jit
     def probe_ffn(x):
         return linear(p_down, activation(bb.hidden_act)(linear(p_up, x, dtype)), dtype)
 
-    @jax.jit
     def probe_attn(xs):
         from ..models.deberta import disentangled_attention
 
@@ -284,22 +289,43 @@ def per_kernel_report(
             key_mask=ones_mask,
         )
 
+    def chain(fn, n):
+        @jax.jit
+        def run(x0):
+            def body(c, _):
+                return fn(c), None
+
+            y, _ = jax.lax.scan(body, x0, None, length=n)
+            return y
+
+        return run
+
+    def measure(fn, arg) -> float:
+        """ms per iteration: (chain(2k) - chain(k)) / k with a full transfer
+        drain each (np.asarray; block_until_ready under-reports here)."""
+        short, long = chain(fn, iters), chain(fn, 2 * iters)
+        np.asarray(short(arg)), np.asarray(long(arg))  # compile both
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(short(arg))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(long(arg))
+            tl = time.perf_counter() - t0
+            best = min(best, (tl - ts) / iters)
+        return best * 1e3
+
     costs = _component_costs(cfg, batch, seq, quant_mode, act_bytes)
     probes = [
-        ("qkv_o_proj", probe_qkv_o, (x,)),
-        ("ffn", probe_ffn, (x,)),
-        ("attn_total", probe_attn, (xs,)),
+        ("qkv_o_proj", probe_qkv_o, x),
+        ("ffn", probe_ffn, x),
+        ("attn_total", probe_attn, xs),
     ]
     peaks = CHIP_PEAKS[chip]
     rows = []
-    for name, fn, args in probes:
-        out = fn(*args)
-        jax.block_until_ready(out)  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / iters * 1e3
+    for name, fn, arg in probes:
+        ms = measure(fn, arg)
         flops, bytes_ = costs[name]
         sol_ms = max(
             flops / (peaks["bf16_tflops"] * 1e12),

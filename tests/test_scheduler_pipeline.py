@@ -133,6 +133,15 @@ class _FaultyEngine:
             raise RuntimeError("injected device fault")
         return self._engine.run_async(batch, max_labels)
 
+    def stack_batches(self, batches):
+        return self._engine.stack_batches(batches)
+
+    def run_stacked_async(self, ids, mask, max_labels):
+        if ids.shape[2] == self.fail_seq and self.remaining > 0:
+            self.remaining -= 1
+            raise RuntimeError("injected device fault")
+        return self._engine.run_stacked_async(ids, mask, max_labels)
+
     def run(self, batch, max_labels):
         dev, n = self.run_async(batch, max_labels)
         return np.asarray(dev)[:n]

@@ -1,5 +1,13 @@
-"""Benchmark: gliclass-base-v1.0 geometry, INT8 weight-only, end-to-end
-throughput (tokenize -> bucketed batches -> jitted forward -> probabilities).
+"""Benchmark: REAL-SCALE artifact end-to-end throughput.
+
+The measured artifact is a fetch-shaped bundle at knowledgator/gliclass-base-v1.0
+geometry (utils/realscale.py): a 128,100-piece BPE tokenizer (the real
+DeBERTa-v3 merge-table size, hence the real host tokenize cost), 186M params
+with the full 128,100x768 embedding table resident in HBM, INT8 weights,
+loaded through the production ``ZeroShotClassificationPipeline.from_bundle``
+path exactly like a fetched checkpoint (reference run_GLiClass.sh:33-92 always
+runs the real artifact). The bundle's golden-logit selftest replays before
+timing, so the measured engine is simultaneously accuracy-checked.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "texts/s/chip", "vs_baseline": N}
@@ -23,17 +31,6 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def build_tokenizer(path: str):
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from helpers import build_tiny_tokenizer
-
-    if not os.path.exists(path):
-        build_tiny_tokenizer(path)
-    from gliclass.c_tpu.tokenization import PromptTokenizer
-
-    return PromptTokenizer.from_file(path)
-
-
 def main() -> None:
     t0 = time.time()
     import numpy as np
@@ -44,37 +41,21 @@ def main() -> None:
     # are expensive; cache them across bench runs.
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
-    from gliclass.c_tpu.config import GLiClassConfig, RuntimeConfig, deberta_v3_config
-    from gliclass.c_tpu.data import parse_job
-    from gliclass.c_tpu.engine import InferenceEngine
-    from gliclass.c_tpu.models.gliclass import init_gliclass_params
-    from gliclass.c_tpu.ops.quant import quantize_tree
-    from gliclass.c_tpu.pipeline import ZeroShotClassificationPipeline
-
-    platform = jax.devices()[0].platform
+    platform = jax.devices()[0].platform  # initializes the backend, which also
+    # pins realscale's build guard: with a live backend it cannot flip the
+    # process to CPU-only (utils/realscale.py forces CPU only in fresh procs).
     n_chips = len(jax.devices())
     log(f"devices: {jax.devices()} (platform={platform})")
 
-    tok = build_tokenizer("/tmp/gliclass_bench_tokenizer.json")
+    from gliclass.c_tpu.config import RuntimeConfig
+    from gliclass.c_tpu.convert import bundle as B
+    from gliclass.c_tpu.data import parse_job
+    from gliclass.c_tpu.pipeline import ZeroShotClassificationPipeline
+    from gliclass.c_tpu.utils.realscale import ensure_realscale_bundle
 
-    cfg = GLiClassConfig(
-        original_model_name="knowledgator/gliclass-base-v1.0 (geometry, random weights)",
-        hidden_size=768,
-        class_token_index=tok.label_token_id,
-        text_token_index=tok.sep_token_id,
-        prompt_first=True,
-        backbone=deberta_v3_config("base"),
-    )
-    log("initializing params (bf16, on host)...")
-    # Init + quantize on host CPU: avoids shipping ~370MB of random weights
-    # device->host through the tunnel just to quantize them.
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = init_gliclass_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-        log("quantizing to INT8...")
-        qparams = quantize_tree(jax.tree.map(np.asarray, params))
-    del params
+    bundle = ensure_realscale_bundle(log=log)
+    log(f"real-scale bundle: {bundle} ({time.time()-t0:.1f}s elapsed)")
 
     runtime = RuntimeConfig(
         batch_size=int(os.environ.get("BENCH_BATCH", "128")),
@@ -86,10 +67,33 @@ def main() -> None:
         dp_size=1,
         tp_size=1,
     )
-    engine = InferenceEngine(cfg, qparams, runtime)
-    pipe = ZeroShotClassificationPipeline(engine, tok, runtime)
+    log("loading bundle (INT8 weights -> device)...")
+    pipe = ZeroShotClassificationPipeline.from_bundle(bundle, runtime)
+    cfg = pipe.engine.cfg
+    log(f"model: {cfg.original_model_name}; vocab={cfg.backbone.vocab_size}")
 
-    # 1k-text multi-label topic-classification job (BASELINE.json config #2 shape)
+    # Golden-logit selftest on the artifact being measured (the reference's
+    # test_onnx.py gate): the numbers below come from an accuracy-checked
+    # engine, not just a fast one.
+    if os.environ.get("BENCH_SKIP_SELFTEST") != "1":
+        from gliclass.c_tpu.utils.eval import golden_logit_check
+
+        goldens = B.load_goldens(bundle)
+        worst = golden_logit_check(pipe, goldens, runtime)
+        ok = worst <= 2e-1  # INT8 tolerance (cli.py selftest)
+        log(f"selftest: max |logit delta| = {worst:.4f} vs torch goldens "
+            f"(tol 0.2, INT8) {'PASS' if ok else 'FAIL'}")
+        if not ok:
+            print(json.dumps({
+                "metric": "gliclass-base int8 e2e throughput",
+                "value": 0.0, "unit": "texts/s/chip", "vs_baseline": 0.0,
+                "error": f"selftest failed: logit delta {worst:.4f}",
+            }))
+            return
+
+    # 1k-text multi-label topic-classification job (BASELINE.json config #2
+    # shape). Real English-word texts: with the 128k-piece tokenizer these
+    # segment at a realistic ~1.3 tokens/word.
     rng = np.random.default_rng(0)
     words = (
         "science business sports politics travel health model format tool "
@@ -100,7 +104,8 @@ def main() -> None:
         " ".join(rng.choice(words, size=int(rng.integers(20, 60))))
         for _ in range(n_texts)
     ]
-    labels = [["science", "business", "sports", "politics", "travel", "health", "format", "tool"]]
+    labels = [["science", "business", "sports", "politics", "travel", "health",
+               "format", "tool"]]
     job = parse_job(
         {
             "texts": texts,
@@ -160,14 +165,14 @@ def main() -> None:
     if platform == "tpu" and os.environ.get("BENCH_SKIP_KERNEL_TABLE") != "1":
         from gliclass.c_tpu.utils.perf import format_kernel_report, per_kernel_report
 
-        for B, S in ((int(os.environ.get("BENCH_BATCH", "128")), 96), (128, 512)):
-            rows = per_kernel_report(cfg, B, S, quant_mode="int8", chip="v5e")
-            log(f"per-kernel SoL @ [B={B}, S={S}]:\n" + format_kernel_report(rows))
+        for B_, S in ((int(os.environ.get("BENCH_BATCH", "128")), 96), (128, 512)):
+            rows = per_kernel_report(cfg, B_, S, quant_mode="int8", chip="v5e")
+            log(f"per-kernel SoL @ [B={B_}, S={S}]:\n" + format_kernel_report(rows))
 
     print(
         json.dumps(
             {
-                "metric": "gliclass-base int8 e2e throughput",
+                "metric": "gliclass-base int8 e2e throughput (real-scale bundle)",
                 "value": round(per_chip, 1),
                 "unit": "texts/s/chip",
                 "vs_baseline": round(per_chip / TARGET_PER_CHIP, 3),

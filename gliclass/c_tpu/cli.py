@@ -178,10 +178,9 @@ def cmd_serve(args) -> int:
 def cmd_selftest(args) -> int:
     """Golden-logit regression: re-run the bundle's golden samples on the JAX
     engine and assert atol 1e-3 (the reference's gate; test_onnx.py:30,74)."""
-    import numpy as np
-
     from .convert import bundle as B
     from .pipeline import ZeroShotClassificationPipeline
+    from .utils.eval import golden_logit_check
 
     import dataclasses
 
@@ -192,31 +191,7 @@ def cmd_selftest(args) -> int:
     if not goldens:
         print("no goldens.json in bundle; nothing to check", file=sys.stderr)
         return 1
-    worst = 0.0
-    for rec in goldens:
-        # Replay each golden under the conditions it was recorded at — the
-        # reference re-tokenizes the canonical sample identically to export
-        # (reference ONNX_CONVERTING/test_onnx.py:59-69). The CLI --max-length
-        # must not silently truncate the golden prompt differently.
-        rt = dataclasses.replace(
-            runtime, max_length=int(rec.get("max_length", runtime.max_length))
-        )
-        rpipe = ZeroShotClassificationPipeline(
-            pipe.engine, pipe.tokenizer, rt,
-            prompt_first=rec.get("prompt_first"),
-        )
-        probs = rpipe.predict_probs(rec["texts"], rec["labels"], rec["same_labels"])
-        golden = np.asarray(rec["logits"], dtype=np.float64)
-        got_logits = np.log(np.clip(probs, 1e-12, 1 - 1e-12)) - np.log1p(
-            -np.clip(probs, 1e-12, 1 - 1e-12)
-        )
-        width = golden.shape[1]
-        # Hard-masked slots (logit -1e4 for absent labels) don't round-trip
-        # through probabilities; compare real logits only.
-        real = golden > -9.99e3
-        delta = np.abs(got_logits[:, :width] - golden)[real]
-        diff = float(delta.max()) if delta.size else 0.0
-        worst = max(worst, diff)
+    worst = golden_logit_check(pipe, goldens, runtime)
     tol = 1e-3 if runtime.compute_dtype == "float32" and not args.int8 else 2e-1
     status = "PASS" if worst <= tol else "FAIL"
     print(f"golden-logit check: max |delta| = {worst:.6f} (tol {tol}) {status}")

@@ -108,6 +108,41 @@ def synthetic_eval_set(
     return texts, labels, refs
 
 
+def golden_logit_check(pipe, goldens, runtime) -> float:
+    """Replay a bundle's golden samples through ``pipe`` and return the worst
+    |logit delta| vs the recorded torch-reference logits.
+
+    Each golden replays under the conditions it was recorded at (max_length,
+    prompt_first) — the reference re-tokenizes the canonical sample
+    identically to export (reference ONNX_CONVERTING/test_onnx.py:59-69).
+    Hard-masked label slots (logit -1e4) don't round-trip through
+    probabilities and are excluded. Shared by ``cli selftest`` and bench.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ..pipeline import ZeroShotClassificationPipeline
+
+    worst = 0.0
+    for rec in goldens:
+        rt = dataclasses.replace(
+            runtime, max_length=int(rec.get("max_length", runtime.max_length))
+        )
+        rpipe = ZeroShotClassificationPipeline(
+            pipe.engine, pipe.tokenizer, rt, prompt_first=rec.get("prompt_first")
+        )
+        probs = rpipe.predict_probs(rec["texts"], rec["labels"], rec["same_labels"])
+        golden = np.asarray(rec["logits"], dtype=np.float64)
+        p = np.clip(probs, 1e-12, 1 - 1e-12)
+        got_logits = np.log(p) - np.log1p(-p)
+        width = golden.shape[1]
+        real = golden > -9.99e3
+        delta = np.abs(got_logits[:, :width] - golden)[real]
+        worst = max(worst, float(delta.max()) if delta.size else 0.0)
+    return worst
+
+
 def int8_f1_gate(
     pipe_fp32,
     pipe_int8,

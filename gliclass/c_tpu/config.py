@@ -55,20 +55,29 @@ class RuntimeConfig:
     sp_size: int = 1
     # Tokenization host-parallelism.
     tokenizer_workers: int = 8
-    # Overlap tokenization with device execution ("auto" enables it when the
-    # host has enough cores that tokenizer threads don't starve the dispatch
-    # thread; measured on a 2-CPU host the overlap INVERTS into GIL contention
-    # and costs ~15%, while the barrier plan keeps the device saturated).
+    # Overlap tokenization with device execution. The streamed plan (dispatch
+    # each bucket's batch as soon as it fills, scheduler.plan_and_run_
+    # overlapped) is on by default: tokenize and dispatch share ONE thread, so
+    # it cannot GIL-starve dispatch even on a 2-CPU host (the inversion that
+    # earlier auto-disabled overlap was multi-threaded tokenize racing the
+    # dispatch thread — see effective_tokenizer_workers). "off" restores the
+    # barrier plan (tokenize everything, then dispatch; the reference's
+    # three-phase design, main.c:116-155).
     overlap_tokenize: str = "auto"  # auto | on | off
 
     def overlap_enabled(self) -> bool:
-        if self.overlap_tokenize == "on":
-            return True
-        if self.overlap_tokenize == "off":
-            return False
+        return self.overlap_tokenize != "off"
+
+    def effective_tokenizer_workers(self) -> int:
+        """Tokenizer threads for the streamed (overlapped) plan: on hosts with
+        few cores, worker threads starve the dispatching thread (measured on
+        the 2-CPU bench host: multi-thread overlap INVERTED into ~15% loss
+        while single-thread streaming hides ~90ms of tokenize under device
+        time) — cap workers so at least one core stays free for dispatch."""
         import os
 
-        return (os.cpu_count() or 1) >= 4
+        cpus = os.cpu_count() or 1
+        return self.tokenizer_workers if cpus >= 4 else 1
     # Use the native C++ host ops (prompt packing / batch assembly) when built.
     use_native_host_ops: bool = True
     # Fuse q/k/v projections into one wide matmul at engine load. Math-identical,

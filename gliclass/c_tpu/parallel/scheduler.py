@@ -283,14 +283,18 @@ def plan_and_run_overlapped(
     """Tokenize-and-dispatch pipeline: bucketed batches go to the device as
     soon as they fill, while the host tokenizes the next chunk.
 
-    XLA dispatch is async, so the device crunches batch k while the Rust
-    tokenizer (GIL-releasing) encodes chunk k+1 — tokenization time hides
-    entirely under device time for jobs larger than one chunk. Semantically
-    identical to plan_batches + run_planned (same bucketing, same demux, same
-    one-retry-then-isolate failure handling); the reference's three-phase
-    barrier design made this impossible (reference main.c:116-155).
+    XLA dispatch is async, so the device crunches batch k while the host
+    encodes chunk k+1 — tokenization time hides under device time for jobs
+    larger than one chunk. Tokenize and dispatch run on ONE thread (worker
+    count capped by runtime.effective_tokenizer_workers on small hosts), so
+    the streamed plan cannot GIL-starve dispatch — the failure mode that made
+    full multi-threaded overlap slower than the barrier plan on a 2-CPU host.
+    Semantically identical to plan_batches + run_planned (same bucketing, same
+    demux, same one-retry-then-isolate failure handling); the reference's
+    three-phase barrier design made this impossible (reference main.c:116-155).
     """
     bs = runtime.batch_size
+    workers = runtime.effective_tokenizer_workers()
     accum: dict[tuple[int, int], list[tuple[int, np.ndarray, int]]] = {}
     in_flight: list[_InFlight] = []
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
@@ -317,7 +321,7 @@ def plan_and_run_overlapped(
     for c0 in range(0, len(prompts), chunk):
         enc = tokenizer.encode_batch_parallel(
             prompts[c0 : c0 + chunk], max_length=runtime.max_length, pad_to=None,
-            chunk_size=64, workers=runtime.tokenizer_workers,
+            chunk_size=64, workers=workers,
         )
         for j in range(len(enc.lengths)):
             i = c0 + j

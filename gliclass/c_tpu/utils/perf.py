@@ -212,7 +212,7 @@ def per_kernel_report(
     seq: int,
     quant_mode: str = "int8",
     chip: str = "v5e",
-    iters: int = 8,
+    iters: int = 24,
 ) -> list[dict]:
     """Measure each hot component in isolation at the step's shapes and price
     it against its own speed-of-light.
@@ -296,25 +296,34 @@ def per_kernel_report(
                 return fn(c), None
 
             y, _ = jax.lax.scan(body, x0, None, length=n)
-            return y
+            # Scalar drain: the timing transfer must not carry the full
+            # activation (up to ~100MB at S=512 — through this tunnel that
+            # transfer dwarfs device compute and its jitter swamps the
+            # chain-length diff; observed as 0.000/negative ms). The sum
+            # depends on every element, so nothing is dead-code-eliminated.
+            return y.astype(jnp.float32).sum()
 
         return run
 
     def measure(fn, arg) -> float:
         """ms per iteration: (chain(2k) - chain(k)) / k with a full transfer
-        drain each (np.asarray; block_until_ready under-reports here)."""
+        drain each (np.asarray; block_until_ready under-reports here).
+
+        The launch/transfer overhead being cancelled (~2-30ms through the
+        tunnel) is NOISY but floor-stable: differencing per-run pairs lets one
+        slow short-run produce a negative diff (observed), so take the best
+        (floor) time of each chain length independently, then difference."""
         short, long = chain(fn, iters), chain(fn, 2 * iters)
         np.asarray(short(arg)), np.asarray(long(arg))  # compile both
-        best = float("inf")
-        for _ in range(2):
+        ts = tl = float("inf")
+        for _ in range(3):
             t0 = time.perf_counter()
             np.asarray(short(arg))
-            ts = time.perf_counter() - t0
+            ts = min(ts, time.perf_counter() - t0)
             t0 = time.perf_counter()
             np.asarray(long(arg))
-            tl = time.perf_counter() - t0
-            best = min(best, (tl - ts) / iters)
-        return best * 1e3
+            tl = min(tl, time.perf_counter() - t0)
+        return max(tl - ts, 1e-9) / iters * 1e3
 
     costs = _component_costs(cfg, batch, seq, quant_mode, act_bytes)
     probes = [

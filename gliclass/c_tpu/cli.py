@@ -33,7 +33,11 @@ def _runtime_from_args(args) -> RuntimeConfig:
         max_length=args.max_length,
         threshold=args.threshold,
         compute_dtype=args.dtype,
-        quant_mode="int8" if args.int8 else "none",
+        quant_mode=(
+            "int8-dynamic"
+            if getattr(args, "int8_dynamic", False)
+            else ("int8" if args.int8 else "none")
+        ),
         dp_size=args.dp,
         tp_size=args.tp,
         sp_size=args.sp,
@@ -64,6 +68,11 @@ def _add_runtime_flags(p: argparse.ArgumentParser):
     p.add_argument("--threshold", type=float, default=0.5)  # configs.h:6 default
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--int8", action="store_true", help="use the INT8 weight bundle")
+    p.add_argument(
+        "--int8-dynamic", action="store_true",
+        help="w8a8: INT8 weight bundle + dynamic per-token INT8 activations "
+        "(int8xint8 MXU; the reference's ONNX dynamic-quantization mode)",
+    )
     p.add_argument("--dp", type=int, default=1, help="data-parallel mesh size")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     p.add_argument(
@@ -192,12 +201,13 @@ def cmd_selftest(args) -> int:
         print("no goldens.json in bundle; nothing to check", file=sys.stderr)
         return 1
     worst = golden_logit_check(pipe, goldens, runtime)
-    tol = 1e-3 if runtime.compute_dtype == "float32" and not args.int8 else 2e-1
+    any_int8 = args.int8 or args.int8_dynamic
+    tol = 1e-3 if runtime.compute_dtype == "float32" and not any_int8 else 2e-1
     status = "PASS" if worst <= tol else "FAIL"
     print(f"golden-logit check: max |delta| = {worst:.6f} (tol {tol}) {status}")
     rc = 0 if status == "PASS" else 1
 
-    if args.int8:
+    if any_int8:
         # Accuracy gate (BASELINE.md): micro-F1 delta of the INT8 path vs the
         # fp32 path over the deterministic synthetic eval set must stay within
         # 0.5%. The fp32 reference engine comes from the same bundle.

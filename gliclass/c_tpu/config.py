@@ -44,7 +44,10 @@ class RuntimeConfig:
     label_buckets: tuple[int, ...] = (4, 8, 16, 32, 64)
     # "float32" for parity testing, "bfloat16" for TPU serving.
     compute_dtype: str = "bfloat16"
-    # "none" (use bundle dtype) | "int8" (weight-only INT8 pallas path)
+    # "none" (use bundle dtype) | "int8" (weight-only INT8 dequant fused into
+    # the matmul) | "int8-dynamic" (w8a8: dynamic per-token INT8 activations +
+    # int8xint8 MXU dot, 2x the bf16 matmul peak on v5e — the reference's ONNX
+    # dynamic-quantization execution mode, DynamicQuantizeLinear+MatMulInteger)
     quant_mode: str = "none"
     # Mesh axes sizes: data parallel x sequence parallel x model (tensor)
     # parallel. (1, 1, 1) = single chip. SP shards the token axis of

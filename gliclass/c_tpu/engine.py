@@ -24,6 +24,7 @@ import numpy as np
 
 from .config import GLiClassConfig, RuntimeConfig
 from .models.gliclass import gliclass_probs
+from .ops.layers import act_quant as act_quant_ctx
 from .parallel.mesh import (
     DATA_AXIS,
     Mesh,
@@ -115,6 +116,12 @@ class InferenceEngine:
             self.runtime.dp_size, self.runtime.tp_size, self.runtime.sp_size
         )
         self.compute_dtype = _DTYPES[self.runtime.compute_dtype]
+        # w8a8: dynamic per-token INT8 activations on top of INT8 weights
+        # (ops/layers._linear_w8a8) — the int8xint8 MXU path, 2x the bf16
+        # matmul peak on v5e. Weight-only ("int8") stays the conservative
+        # default; "int8-dynamic" mirrors the reference's ONNX dynamic
+        # quantization mode (DynamicQuantizeLinear + MatMulInteger).
+        self._act_quant = self.runtime.quant_mode == "int8-dynamic"
         if self.runtime.fuse_qkv:
             params = fuse_qkv_params(params, cfg)
         self.params = shard_params(params, self.mesh)
@@ -138,6 +145,7 @@ class InferenceEngine:
         step = self._steps.get(key)
         if step is None:
             cfg, dtype = self.cfg, self.compute_dtype
+            act_q = self._act_quant
             # Inputs shard [B, S] over (data, seq). With sp>1 the activations
             # stay token-sharded through embeddings/FFN/norms; XLA's SPMD
             # partitioner inserts the k/v all-gathers attention needs (the
@@ -146,9 +154,12 @@ class InferenceEngine:
             in_sharding = seq_sharding(self.mesh, seq_len)
 
             def fwd(params, input_ids, attention_mask):
-                return gliclass_probs(
-                    params, input_ids, attention_mask, cfg, max_labels, dtype
-                )
+                # act_quant is a TRACE-time switch (jit calls fwd with tracers,
+                # so the context wraps tracing; see ops/layers.act_quant).
+                with act_quant_ctx(act_q):
+                    return gliclass_probs(
+                        params, input_ids, attention_mask, cfg, max_labels, dtype
+                    )
 
             step = jax.jit(
                 fwd,
@@ -172,6 +183,7 @@ class InferenceEngine:
         step = self._steps.get(key)
         if step is None:
             cfg, dtype = self.cfg, self.compute_dtype
+            act_q = self._act_quant
             in_sharding = stack_sharding(self.mesh, seq_len)
 
             def fwd(params, input_ids, attention_mask):
@@ -181,7 +193,10 @@ class InferenceEngine:
                         params, ids, mask, cfg, max_labels, dtype
                     )
 
-                _, probs = jax.lax.scan(body, None, (input_ids, attention_mask))
+                with act_quant_ctx(act_q):
+                    _, probs = jax.lax.scan(
+                        body, None, (input_ids, attention_mask)
+                    )
                 return probs
 
             out_sharding = NamedSharding(
@@ -306,5 +321,8 @@ class InferenceEngine:
 
         runtime = runtime or RuntimeConfig()
         cfg = B.load_config(bundle_path)
-        params = B.load_params(bundle_path, quantized=(runtime.quant_mode == "int8"))
+        params = B.load_params(
+            bundle_path,
+            quantized=runtime.quant_mode in ("int8", "int8-dynamic"),
+        )
         return cls(cfg, params, runtime, mesh)

@@ -22,12 +22,21 @@ from dataclasses import dataclass, field
 from ..config import GLiClassConfig
 
 
-# Public per-chip peaks (bf16 matmul TFLOP/s, HBM GB/s).
+# Public per-chip peaks (bf16 matmul TFLOP/s, INT8 matmul TOP/s, HBM GB/s).
 CHIP_PEAKS = {
-    "v5e": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
-    "v4": {"bf16_tflops": 275.0, "hbm_gbps": 1228.0},
-    "v5p": {"bf16_tflops": 459.0, "hbm_gbps": 2765.0},
+    "v5e": {"bf16_tflops": 197.0, "int8_tops": 394.0, "hbm_gbps": 819.0},
+    "v4": {"bf16_tflops": 275.0, "int8_tops": 275.0, "hbm_gbps": 1228.0},
+    "v5p": {"bf16_tflops": 459.0, "int8_tops": 918.0, "hbm_gbps": 2765.0},
 }
+
+
+def _matmul_peak(peaks: dict, quant_mode: str) -> float:
+    """Dense-matmul peak for the quant mode: w8a8 ("int8-dynamic") runs the
+    MXU in int8xint8 at 2x the bf16 rate; weight-only int8 still does bf16
+    MXU math (dequantized weights)."""
+    if quant_mode == "int8-dynamic":
+        return peaks["int8_tops"]
+    return peaks["bf16_tflops"]
 
 
 @dataclass
@@ -142,7 +151,7 @@ def gliclass_step_cost(
     B, S = batch, seq
     M = B * S  # tokens per step
     act = compute_dtype_bytes
-    wbytes = 1 if quant_mode == "int8" else act
+    wbytes = 1 if quant_mode in ("int8", "int8-dynamic") else act
 
     c = StepCost()
     # --- MXU FLOPs ---
@@ -188,7 +197,7 @@ def _component_costs(cfg: GLiClassConfig, batch: int, seq: int,
     h, d = bb.num_attention_heads, bb.head_dim
     B, S = batch, seq
     M = B * S
-    wb = 1 if quant_mode == "int8" else act
+    wb = 1 if quant_mode in ("int8", "int8-dynamic") else act
     K2 = 2 * (bb.position_buckets if bb.position_buckets > 0 else S)
 
     qkv_o = (4 * 2 * M * H * H, 4 * H * H * wb + 8 * M * H * act)
@@ -251,7 +260,7 @@ def per_kernel_report(
     def dense(k_in: int, k_out: int):
         w = (rng.standard_normal((k_in, k_out)) * 0.02).astype(np.float32)
         p = {"w": jnp.asarray(w, dtype)}
-        if quant_mode == "int8":
+        if quant_mode in ("int8", "int8-dynamic"):
             p = quantize_dense_param({"w": w})
         return p
 
@@ -331,15 +340,39 @@ def per_kernel_report(
         ("ffn", probe_ffn, x),
         ("attn_total", probe_attn, xs),
     ]
+    if quant_mode == "int8-dynamic":
+        # w8a8 probes trace inside the act_quant context, exactly like the
+        # engine's jitted step (engine.py::_get_step).
+        from ..ops.layers import act_quant
+
+        def _w8a8(fn):
+            def g(arg):
+                with act_quant(True):
+                    return fn(arg)
+
+            return g
+
+        probes = [(name, _w8a8(fn), arg) for name, fn, arg in probes]
     peaks = CHIP_PEAKS[chip]
+    mm_peak = _matmul_peak(peaks, quant_mode)
+    # Attention mixes dense projections (int8-dynamic-able) with bf16 score/
+    # context einsums: price each part against its own peak.
+    dense_attn_flops = 4 * 2 * M * H * H
+    if bb.relative_attention:
+        dense_attn_flops += 2 * 2 * (2 * span) * H * H
     rows = []
     for name, fn, arg in probes:
         ms = measure(fn, arg)
         flops, bytes_ = costs[name]
-        sol_ms = max(
-            flops / (peaks["bf16_tflops"] * 1e12),
-            bytes_ / (peaks["hbm_gbps"] * 1e9),
-        ) * 1e3
+        if name == "attn_total":
+            compute_s = (
+                min(dense_attn_flops, flops) / (mm_peak * 1e12)
+                + max(flops - dense_attn_flops, 0.0)
+                / (peaks["bf16_tflops"] * 1e12)
+            )
+        else:
+            compute_s = flops / (mm_peak * 1e12)
+        sol_ms = max(compute_s, bytes_ / (peaks["hbm_gbps"] * 1e9)) * 1e3
         rows.append(
             {
                 "component": name,
@@ -378,10 +411,15 @@ def speed_of_light(
     cost = gliclass_step_cost(cfg, batch, seq, quant_mode)
     tflops = cost.total_flops / step_seconds / 1e12
     gbps = cost.total_bytes / step_seconds / 1e9
-    sol_s = max(
-        cost.total_flops / (peaks["bf16_tflops"] * 1e12),
-        cost.total_bytes / (peaks["hbm_gbps"] * 1e9),
+    # Dense matmuls run at the quant mode's MXU peak (int8x2 under w8a8);
+    # attention einsums and path extras stay bf16.
+    mm_peak = _matmul_peak(peaks, quant_mode)
+    dense_keys = {"qkv_o_proj", "ffn", "pos_proj", "head"}
+    compute_s = sum(
+        v / ((mm_peak if k in dense_keys else peaks["bf16_tflops"]) * 1e12)
+        for k, v in cost.flops.items()
     )
+    sol_s = max(compute_s, cost.total_bytes / (peaks["hbm_gbps"] * 1e9))
     return {
         "chip": chip,
         "step_ms": step_seconds * 1e3,

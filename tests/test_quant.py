@@ -152,3 +152,67 @@ def test_quantized_tree_scan_slices_work_with_linear(rng):
         got = np.asarray(linear(p, jnp.asarray(x)))
         want = x @ dequantize_weight(w_q[l], scale[l]) + b[l]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_linear_math(rng):
+    """w8a8 (act_quant context): int8x int8 dot + two-scale epilogue equals
+    the quantize-by-hand reference; bf16-only (fp32 parity mode must keep
+    weight-only regardless of the context)."""
+    from gliclass.c_tpu.ops.layers import act_quant, linear
+
+    w = rng.standard_normal((32, 16)).astype(np.float32) * 0.1
+    w_q, scale = quantize_weight(w)
+    x = rng.standard_normal((6, 32)).astype(np.float32)
+    p = {"w_q": jnp.asarray(w_q), "scale": jnp.asarray(scale)}
+
+    with act_quant(True):
+        got = np.asarray(
+            linear(p, jnp.asarray(x, jnp.bfloat16), jnp.bfloat16),
+            dtype=np.float32,
+        )
+    s_x = np.maximum(np.abs(x).max(axis=-1, keepdims=True) / 127.0, 1e-10)
+    x_q = np.round(x / s_x).astype(np.int8)
+    want = (x_q.astype(np.int32) @ w_q.astype(np.int32)).astype(np.float32)
+    want = want * s_x * scale
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-2, atol=2e-2)
+
+    # fp32 parity mode ignores the context (weight-only dequant)
+    with act_quant(True):
+        got32 = np.asarray(linear(p, jnp.asarray(x), jnp.float32))
+    want32 = x @ dequantize_weight(w_q, scale)
+    np.testing.assert_allclose(got32, want32, rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_engine_close_to_fp32_and_not_a_noop(tiny_tokenizer_file):
+    """quant_mode="int8-dynamic" end-to-end: probabilities stay close to the
+    weight-only INT8 path (activation quant adds bounded noise) and MUST
+    differ from it (the activation quantization really executed)."""
+    from gliclass.c_tpu.config import RuntimeConfig
+    from gliclass.c_tpu.engine import InferenceEngine
+    from gliclass.c_tpu.ops.quant import quantize_tree
+    from gliclass.c_tpu.pipeline import ZeroShotClassificationPipeline
+
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    cfg = _tiny_cfg(tok)
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    q = quantize_tree(jax.tree.map(np.asarray, params))
+
+    texts = ["the quick brown fox", "onnx is an open-source format", "fast ai"]
+    labels = [["science", "sports", "format"]]
+
+    def probs(quant_mode):
+        rt = RuntimeConfig(
+            batch_size=4, max_length=64, compute_dtype="bfloat16",
+            quant_mode=quant_mode, seq_buckets=(64,), label_buckets=(4,),
+        )
+        pipe = ZeroShotClassificationPipeline(
+            InferenceEngine(cfg, q, rt), tok, rt
+        )
+        return pipe.predict_probs(texts, labels, True)
+
+    p_w8 = probs("int8")
+    p_w8a8 = probs("int8-dynamic")
+    assert np.isfinite(p_w8a8).all()
+    diff = np.abs(p_w8a8 - p_w8).max()
+    assert diff > 1e-7, "int8-dynamic identical to weight-only — act quant no-op"
+    np.testing.assert_allclose(p_w8a8, p_w8, atol=0.05)

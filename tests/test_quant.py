@@ -216,3 +216,37 @@ def test_w8a8_engine_close_to_fp32_and_not_a_noop(tiny_tokenizer_file):
     diff = np.abs(p_w8a8 - p_w8).max()
     assert diff > 1e-7, "int8-dynamic identical to weight-only — act quant no-op"
     np.testing.assert_allclose(p_w8a8, p_w8, atol=0.05)
+
+
+def test_w8a8_stacked_launch_matches_singles(tiny_tokenizer_file):
+    """The stacked executable (lax.scan over batches) traces inside the same
+    act_quant context as single steps: stacked w8a8 probs == per-batch w8a8
+    probs exactly (same executED math, same inputs)."""
+    from gliclass.c_tpu.config import RuntimeConfig
+    from gliclass.c_tpu.engine import InferenceEngine
+    from gliclass.c_tpu.ops.quant import quantize_tree
+    from gliclass.c_tpu.parallel.scheduler import plan_batches, run_planned
+    from gliclass.c_tpu.prompting import pack_prompts as _pp
+
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    cfg = _tiny_cfg(tok)
+    params = init_gliclass_params(jax.random.key(0), cfg)
+    q = quantize_tree(jax.tree.map(np.asarray, params))
+    rt = RuntimeConfig(
+        batch_size=2, max_length=64, compute_dtype="bfloat16",
+        quant_mode="int8-dynamic", seq_buckets=(64,), label_buckets=(4,),
+    )
+    engine = InferenceEngine(cfg, q, rt)
+    texts = [f"sample text number {i} about science" for i in range(6)]
+    labels = [["science", "sports", "format"]]
+    prompts = pack_prompts(texts, labels, True, cfg.prompt_first)
+    planned = plan_batches(tok, prompts, [3] * 6, rt)
+    assert len(planned) == 3  # 3 same-shape batches -> one stacked launch
+    stacked = run_planned(engine, planned, 6, 3)
+    singles = np.concatenate(
+        [engine.run(pb.batch, pb.max_labels) for pb in planned]
+    )
+    order = np.concatenate([pb.indices for pb in planned])
+    np.testing.assert_allclose(
+        stacked[order], singles[:, :3], rtol=1e-5, atol=1e-5
+    )

@@ -405,6 +405,17 @@ def flash_disentangled_attention(
 # ---------------------------------------------------------------------------
 # Precomputed-bias route: Pallas table build + canonical einsums + bias-fed
 # fused softmax kernel.
+#
+# Measured decomposition at [B=128, h=12, S=512, d=64] bf16 on v5e (chained
+# probes, r3): table build 2x 0.4 ms | bias einsums 2.2 ms | Pallas softmax
+# kernel 9.3 ms | einsum->kernel HBM round trip ~7.5 ms | whole route 19.8 ms
+# vs 7.4 ms byte-model SoL. The residual gap is structural: the c2p/p2c tied
+# row index forces either (a) this route's [B,h,S,S] bias materialization,
+# (b) per-batch VPU skew passes (row/flash kernels — measured 27-35 ms), or
+# (c) in-kernel per-tile contractions (tiled kernel — Mosaic-constrained to
+# blk=64/bb=16 where tiny batched MXU ops dominate, 1165 ms). All four
+# decompositions are implemented and A/B-selectable via
+# GLICLASS_TPU_ATTN_ROUTE; this route is the measured fastest in-engine.
 # ---------------------------------------------------------------------------
 # The whole-row kernel above recomputes qp/kp and pays log2(S) VPU skew rolls
 # per (batch, head-group) — data movement with zero batch reuse, which is why
@@ -602,6 +613,12 @@ def bias_fused_attention(
     )
 
 
+def _bias_softmax_impl() -> str:
+    import os
+
+    return os.environ.get("GLICLASS_TPU_BIAS_SOFTMAX", "auto")
+
+
 def table_bias_attention(
     q: jax.Array,  # [B, h, S, d]
     k: jax.Array,
@@ -618,19 +635,49 @@ def table_bias_attention(
     Pipeline: Pallas table build (abs_pos_table; skew applied to the
     batch-independent tables, one-hot VMEM-resident) -> the two canonical
     bias einsums (batched [B,d]x[d,S] — at their K=d MXU limit, near-optimal
-    in XLA) -> bias_fused_attention (scores never touch HBM). Same semantics
-    as the models/deberta.py table path (reference
-    ONNX graph disentangled_attention_bias; transformers deberta-v2
-    disentangled_attention_bias c2p/p2c)."""
+    in XLA) -> softmax + PV. Same semantics as the models/deberta.py table
+    path (reference ONNX graph disentangled_attention_bias; transformers
+    deberta-v2 disentangled_attention_bias c2p/p2c).
+
+    Softmax back half, all MEASURED at [128,12,512,64] on v5e (whole route,
+    chained probes):
+
+      * "xla" — scores computed once in fp32, ROUNDED TO score_dtype behind
+        an optimization_barrier (without the barrier XLA fuses the bias
+        einsums into every softmax pass and recomputes them: 26.7 ms; with
+        f32 score storage 25.9 ms), then fp32-stat softmax + PV einsum:
+        **18.1 ms**. The barrier is load-bearing, the bf16 store is what
+        wins — it halves the score stream.
+      * "pallas" — bias_fused_attention (scores VMEM-resident, fp32):
+        19.9 ms, and exact fp32 score math.
+
+    "auto" (default) = "pallas": the probe-level 9% win of "xla" INVERTS in
+    the full engine step — [128,512] w8a8 step measured 228 ms (pallas) vs
+    ~345 ms (xla): inside the 12-layer graph XLA schedules the barrier'd
+    [B,h,S,S] score stores against every other stream and loses far more
+    than the isolated route gains. "xla" stays as a measured A/B option."""
     S = q.shape[2]
     Tc = abs_pos_table(pos_k_rel, S, blk=blk)
     Tq = abs_pos_table(pos_q_rel, S, blk=blk)
     c2p = jnp.einsum("bhid,hdij->bhij", q, Tc, preferred_element_type=score_dtype)
     p2c = jnp.einsum("bhjd,hdji->bhij", k, Tq, preferred_element_type=score_dtype)
-    return bias_fused_attention(
-        q, k, v, c2p.astype(score_dtype), p2c.astype(score_dtype),
-        attention_mask, scale,
-    )
+    impl = _bias_softmax_impl()
+    if impl == "auto":
+        impl = "pallas"
+    if impl == "pallas":
+        return bias_fused_attention(
+            q, k, v, c2p.astype(score_dtype), p2c.astype(score_dtype),
+            attention_mask, scale,
+        )
+    s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+    s = (s + c2p.astype(jnp.float32) + p2c.astype(jnp.float32)) * (1.0 / scale)
+    s = jax.lax.optimization_barrier(s.astype(score_dtype))
+    key_ok = attention_mask.astype(bool)[:, None, None, :]  # [B,1,1,S]
+    sf = jnp.where(key_ok, s.astype(jnp.float32), -1e30)  # _bias_kernel's mask
+    m = jnp.max(sf, axis=-1, keepdims=True)
+    e = jnp.exp(sf - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", p, v).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

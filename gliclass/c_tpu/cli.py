@@ -202,7 +202,10 @@ def cmd_selftest(args) -> int:
         return 1
     worst = golden_logit_check(pipe, goldens, runtime)
     any_int8 = args.int8 or args.int8_dynamic
-    tol = 1e-3 if runtime.compute_dtype == "float32" and not any_int8 else 2e-1
+    # INT8 tolerance is DERIVED from measurement (1.5x the 0.100 max |logit
+    # delta| the real-scale w8a8 path measures against its torch goldens), not
+    # a round number — a 2x logit-space regression must FAIL this gate.
+    tol = 1e-3 if runtime.compute_dtype == "float32" and not any_int8 else 0.15
     status = "PASS" if worst <= tol else "FAIL"
     print(f"golden-logit check: max |delta| = {worst:.6f} (tol {tol}) {status}")
     rc = 0 if status == "PASS" else 1

@@ -213,8 +213,8 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _row_bucket(self, n: int) -> int:
-        """Pad target for the batch dimension: next power of two, rounded up
-        to a multiple of dp.
+        """Pad target for the batch dimension: next power of two clamped at
+        ``runtime.batch_size``, rounded up to a multiple of dp.
 
         Executables are traced per input SHAPE, so without row bucketing every
         distinct micro-batch size arriving at the serving scheduler compiles
@@ -222,12 +222,23 @@ class InferenceEngine:
         throughput to 19 req/s on the tunneled chip. Power-of-two buckets
         bound the variety to log2(batch_size) sizes per (seq, labels) bucket
         at a worst-case 2x row padding (padded rows are fully masked and cost
-        only device time, never correctness — padding-invariance tests)."""
+        only device time, never correctness — padding-invariance tests).
+
+        The clamp matters for non-power-of-two batch sizes: a FULL batch
+        (n == batch_size, the hot path) must never pad past itself (e.g.
+        batch_size=96 padding 96->128 would waste ~33% device compute on
+        every full step); sizes above batch_size (stack_batches tails) keep
+        their own dp-aligned count for the same reason."""
         dp = max(self.mesh.shape[DATA_AXIS], 1)
-        p = 1
-        while p < n:
-            p *= 2
-        return -(-p // dp) * dp
+        bs = self.runtime.batch_size
+        if n >= bs:
+            target = n
+        else:
+            p = 1
+            while p < n:
+                p *= 2
+            target = min(p, bs)
+        return -(-target // dp) * dp
 
     def _pad_batch(self, batch: TokenizedBatch) -> tuple[np.ndarray, np.ndarray, int]:
         """Pad the batch dim to the row bucket (power of two, multiple of dp);

@@ -614,6 +614,16 @@ def bias_fused_attention(
 
 
 def _bias_softmax_impl() -> str:
+    """A/B knob for the S>=512 softmax back half ("auto"|"pallas"|"xla").
+
+    Read at TRACE time: an engine executable bakes in whatever impl was
+    active when its shape bucket first compiled, and utils/perf.py reads
+    this again at REPORT time to price the same path. Contract: set
+    GLICLASS_TPU_BIAS_SOFTMAX before the process's first trace and leave it
+    fixed (the bench and CLI satisfy this trivially; tests that flip it do so
+    around fresh, uncached pallas_call shapes). Flipping it mid-process does
+    NOT re-route already-cached executables — the SoL table would then price
+    a different back half than the step that actually runs."""
     import os
 
     return os.environ.get("GLICLASS_TPU_BIAS_SOFTMAX", "auto")

@@ -339,25 +339,44 @@ def plan_and_run_overlapped(
             yield from sync()
             return
         q: queue.Queue = queue.Queue(maxsize=4)
+        # Close-aware shutdown: if the consumer loop exits early (a dispatch
+        # error propagates and this generator is closed), the producer must
+        # not block forever on a full queue — it would leak a daemon thread
+        # pinning every encoded chunk of the failed job in a long-lived
+        # serving process. The producer's put() polls this stop flag.
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in sync():
-                    q.put(item)
-                q.put(None)
+                    if not put(item):
+                        return
+                put(None)
             except BaseException as e:  # surfaced in the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            stop.set()
 
     for c0, enc in encoded_chunks():
         for j in range(len(enc.lengths)):

@@ -319,3 +319,69 @@ def test_row_bucketing_bounds_executable_variety(setup):
     assert engine._row_bucket(3) == 4 and engine._row_bucket(4) == 4
     # row padding is semantics-free
     np.testing.assert_array_equal(p3, run_n(3))
+
+
+def test_pipelined_tokenize_producer_shutdown(setup, monkeypatch):
+    """Opt-in producer-thread tokenize (GLICLASS_TPU_PIPELINE_TOKENIZE=1):
+    when the consumer loop exits early (persistent dispatch failure with no
+    failure channel), the producer must observe the stop flag and terminate
+    instead of blocking forever on the bounded queue (ADVICE r3: leaked
+    daemon thread + pinned encoded chunks per failed job)."""
+    import time
+
+    from gliclass.c_tpu.parallel.scheduler import plan_and_run_overlapped
+
+    tok, cfg, engine = setup
+    monkeypatch.setenv("GLICLASS_TPU_PIPELINE_TOKENIZE", "1")
+
+    class Boom(RuntimeError):
+        pass
+
+    def fail(*a, **k):
+        raise Boom("dispatch down")
+
+    eng = InferenceEngine(cfg, engine.params, RT)
+    eng.run_async = fail
+    eng.run = fail
+    prompts = [pack_prompt(f"text {i} fox", ["a", "b"], True) for i in range(64)]
+    before = set(threading.enumerate())
+    with pytest.raises(Boom):
+        plan_and_run_overlapped(
+            eng, tok, prompts, [2] * 64, RT, 64, 2, chunk=2, failures=None
+        )
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        leaked = [t for t in threading.enumerate() if t not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"
+
+    # and the happy path still matches the barrier plan under the flag
+    good = InferenceEngine(cfg, engine.params, RT)
+    streamed = plan_and_run_overlapped(
+        good, tok, prompts, [2] * 64, RT, 64, 2, chunk=8
+    )
+    planned = plan_batches(tok, prompts, [2] * 64, RT)
+    np.testing.assert_allclose(
+        streamed, run_planned(good, planned, 64, 2), atol=1e-6
+    )
+
+
+def test_row_bucket_clamps_at_batch_size(setup):
+    """A FULL batch at a non-power-of-two batch_size must never pad past
+    itself: with batch_size=96 the hot path would otherwise pad 96->128 and
+    waste ~33% device compute on every full step (ADVICE r3). Power-of-two
+    buckets apply only BELOW batch_size; sizes at/above it stay exact."""
+    import dataclasses
+
+    tok, cfg, engine = setup
+    eng96 = InferenceEngine(
+        cfg, engine.params, dataclasses.replace(RT, batch_size=96)
+    )
+    assert eng96._row_bucket(96) == 96  # full batch: no pad
+    assert eng96._row_bucket(70) == 96  # pow2 would be 128 -> clamped
+    assert eng96._row_bucket(33) == 64  # pow2 below batch_size kept
+    assert eng96._row_bucket(97) == 97  # above batch_size: exact (dp=1)
+    eng4 = InferenceEngine(cfg, engine.params, RT)  # batch_size=4
+    assert [eng4._row_bucket(n) for n in (1, 2, 3, 4, 5)] == [1, 2, 4, 4, 5]

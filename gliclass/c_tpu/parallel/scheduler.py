@@ -467,6 +467,12 @@ class StreamingScheduler:
                 ) from None
         return req.future
 
+    def pending(self) -> int:
+        """Current request-queue depth (observability: /metrics queue_depth).
+        Approximate by nature (qsize races with the dispatcher) — good enough
+        to see backlog building toward the max_pending backpressure limit."""
+        return self._q.qsize()
+
     def close(self):
         """Stop the dispatcher and fail every request still in the queue.
 

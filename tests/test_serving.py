@@ -150,6 +150,12 @@ def test_metrics(server):
     srv, _ = server
     m = _get(srv.port, "/metrics")
     assert m["requests"] > 0 and m["texts"] > 0 and m["errors"] >= 4
+    # latency percentiles + queue depth (operability observability):
+    # successful classifies above populated the latency ring
+    lat = m["latency"]
+    assert lat["count"] > 0
+    assert 0 < lat["p50_ms"] <= lat["p95_ms"] <= lat["p99_ms"]
+    assert m["queue_depth"] >= 0
 
 
 def test_oversized_body_rejected_413(server):
@@ -231,10 +237,17 @@ def test_load_no_request_lost_or_doubled_under_pressure(tiny_tokenizer_file):
     [t.start() for t in threads]
     [t.join(timeout=300) for t in threads]
     assert not any(t.is_alive() for t in threads), "a request hung"
+    # percentiles must MOVE under load (not just exist): the ring holds the
+    # served requests and p95 >= p50 > 0. Read before close().
+    m = _get(srv.port, "/metrics")
     srv.close()
     assert len(outcomes) == N * M
     assert all(c in (200, 429, 503) for c in outcomes.values()), outcomes
     assert sum(c == 200 for c in outcomes.values()) >= 1
+    served = sum(c == 200 for c in outcomes.values())
+    assert m["latency"]["count"] >= min(served, 1)
+    if m["latency"]["count"]:
+        assert m["latency"]["p95_ms"] >= m["latency"]["p50_ms"] > 0
 
 
 def test_close_wakes_blocked_handlers_fast(tiny_tokenizer_file):

@@ -358,9 +358,13 @@ def encoder_layer(
         key_mask,
     )
     x = layer_norm(p["attn"]["ln"], attn_out + x, cfg.layer_norm_eps)
-    h = linear(p["ffn"]["up"], x, compute_dtype)
-    h = activation(cfg.hidden_act)(h)
-    h = linear(p["ffn"]["down"], h, compute_dtype)
+    # Fused up->act->down (ops/fused_ffn.py): the [M, I] intermediate stays
+    # VMEM-resident on TPU INT8 paths; elsewhere this composes the same
+    # linear/activation/linear the reference's ONNX graph runs op-by-op.
+    from ..ops.fused_ffn import fused_ffn
+
+    h = fused_ffn(p["ffn"]["up"], p["ffn"]["down"], x, cfg.hidden_act,
+                  compute_dtype)
     return layer_norm(p["ffn"]["ln"], h + x, cfg.layer_norm_eps)
 
 

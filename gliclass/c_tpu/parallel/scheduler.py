@@ -141,26 +141,43 @@ def run_planned(
     # so there is no memory reason to throttle.
     for (_, max_labels, _), pbs in sorted(groups.items()):
         for c0 in range(0, len(pbs), _MAX_STACK):
-            chunk = pbs[c0 : c0 + _MAX_STACK]
-            if len(chunk) == 1:
-                pb = chunk[0]
-                try:
-                    dev, n = engine.run_async(pb.batch, pb.max_labels)
-                except Exception as e:
-                    _retry_batch(engine, pb, e, out, max_label_count, failures)
-                    continue
-                in_flight.append(_InFlight([pb], dev, [n]))
-                continue
-            ids, mask, rows = engine.stack_batches([pb.batch for pb in chunk])
-            try:
-                dev = engine.run_stacked_async(ids, mask, max_labels)
-            except Exception as e:
-                for pb in chunk:
-                    _retry_batch(engine, pb, e, out, max_label_count, failures)
-                continue
-            in_flight.append(_InFlight(chunk, dev, rows))
+            _dispatch_launch(
+                engine, pbs[c0 : c0 + _MAX_STACK], max_labels, out,
+                max_label_count, failures, in_flight,
+            )
     _drain_in_flight(engine, in_flight, out, max_label_count, failures)
     return out
+
+
+def _dispatch_launch(
+    engine: InferenceEngine,
+    pbs: list[PlannedBatch],
+    max_labels: int,
+    out: np.ndarray,
+    max_label_count: int,
+    failures: list[BatchFailure] | None,
+    in_flight: "list[_InFlight]",
+) -> None:
+    """Dispatch 1..n same-shape batches as ONE executable launch (stacked
+    when n > 1). A failed stacked dispatch is decomposed: each batch gets the
+    standard one-retry-then-isolate treatment (:func:`_retry_batch`)."""
+    if len(pbs) == 1:
+        pb = pbs[0]
+        try:
+            dev, n = engine.run_async(pb.batch, pb.max_labels)
+        except Exception as e:
+            _retry_batch(engine, pb, e, out, max_label_count, failures)
+            return
+        in_flight.append(_InFlight([pb], dev, [n]))
+        return
+    ids, mask, rows = engine.stack_batches([pb.batch for pb in pbs])
+    try:
+        dev = engine.run_stacked_async(ids, mask, max_labels)
+    except Exception as e:
+        for pb in pbs:
+            _retry_batch(engine, pb, e, out, max_label_count, failures)
+        return
+    in_flight.append(_InFlight(pbs, dev, rows))
 
 
 def _scatter(pb: PlannedBatch, probs: np.ndarray, out: np.ndarray,
@@ -279,6 +296,7 @@ def plan_and_run_overlapped(
     max_label_count: int,
     chunk: int = 256,
     failures: list[BatchFailure] | None = None,
+    timer=None,
 ) -> np.ndarray:
     """Tokenize-and-dispatch pipeline: bucketed batches go to the device as
     soon as they fill, while the host tokenizes the next chunk.
@@ -289,17 +307,40 @@ def plan_and_run_overlapped(
     count capped by runtime.effective_tokenizer_workers on small hosts), so
     the streamed plan cannot GIL-starve dispatch — the failure mode that made
     full multi-threaded overlap slower than the barrier plan on a 2-CPU host.
+
+    Filled same-shape batches are folded into STACKED launches with geometric
+    growth (1, 2, 4, ... up to ``_MAX_STACK`` per shape key): the first batch
+    reaches the device immediately (overlap preserved), later batches amortize
+    the fixed per-launch host cost that dominates at serving shapes (~4 ms
+    per fresh-input launch through a tunneled PJRT stack — the reason
+    ``run_planned`` stacks; r3 paid it once per batch here).
+    GLICLASS_TPU_STREAM_STACK=0 restores one-launch-per-batch for A/B.
+
+    ``timer``: optional StageTimer receiving the host-side attribution of
+    this call (``h_tokenize`` = blocking tokenize waits, ``h_dispatch`` =
+    batch assembly + launch, ``h_drain`` = device wait + transfer + demux).
+
     Semantically identical to plan_batches + run_planned (same bucketing, same
     demux, same one-retry-then-isolate failure handling); the reference's
     three-phase barrier design made this impossible (reference main.c:116-155).
     """
+    import os
+
     bs = runtime.batch_size
     workers = runtime.effective_tokenizer_workers()
     accum: dict[tuple[int, int], list[tuple[int, np.ndarray, int]]] = {}
+    ready: dict[tuple[int, int], list[PlannedBatch]] = {}
+    next_stack: dict[tuple[int, int], int] = {}
+    stack_cap = (
+        1 if os.environ.get("GLICLASS_TPU_STREAM_STACK") == "0" else _MAX_STACK
+    )
     in_flight: list[_InFlight] = []
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
+    from ..utils.metrics import StageTimer
 
-    def dispatch(key: tuple[int, int], idxs_rows: list[tuple[int, np.ndarray, int]]):
+    timer = timer if timer is not None else StageTimer()
+
+    def make_pb(key: tuple[int, int], idxs_rows: list[tuple[int, np.ndarray, int]]):
         sb, lb = key
         ids = np.full((len(idxs_rows), sb), tokenizer.pad_token_id, dtype=np.int32)
         mask = np.zeros((len(idxs_rows), sb), dtype=np.int32)
@@ -310,13 +351,19 @@ def plan_and_run_overlapped(
             mask[row, :L] = 1
             lens[row] = L
             idxs.append(i)
-        pb = PlannedBatch(idxs, TokenizedBatch(ids, mask, lens), lb)
-        try:
-            dev, n = engine.run_async(pb.batch, pb.max_labels)
-        except Exception as e:
-            _retry_batch(engine, pb, e, out, max_label_count, failures)
+        return PlannedBatch(idxs, TokenizedBatch(ids, mask, lens), lb)
+
+    def dispatch_ready(key: tuple[int, int], force: bool = False):
+        quota = next_stack.get(key, 1)
+        pbs = ready.get(key, [])
+        if not pbs or (not force and len(pbs) < quota):
             return
-        in_flight.append(_InFlight([pb], dev, [n]))
+        with timer.stage("h_dispatch"):
+            _dispatch_launch(
+                engine, ready.pop(key), key[1], out, max_label_count,
+                failures, in_flight,
+            )
+        next_stack[key] = min(quota * 2, stack_cap)
 
     def encoded_chunks():
         """(chunk start, encoded chunk) stream. Single-thread by default;
@@ -378,7 +425,13 @@ def plan_and_run_overlapped(
         finally:
             stop.set()
 
-    for c0, enc in encoded_chunks():
+    chunks = iter(encoded_chunks())
+    while True:
+        with timer.stage("h_tokenize"):
+            item = next(chunks, None)
+        if item is None:
+            break
+        c0, enc = item
         for j in range(len(enc.lengths)):
             i = c0 + j
             L = int(enc.lengths[j])
@@ -387,11 +440,24 @@ def plan_and_run_overlapped(
             key = (sb, lb)
             accum.setdefault(key, []).append((i, enc.input_ids[j], min(L, sb)))
             if len(accum[key]) == bs:
-                dispatch(key, accum.pop(key))
+                with timer.stage("h_dispatch"):
+                    ready.setdefault(key, []).append(make_pb(key, accum.pop(key)))
+                dispatch_ready(key)
+    # Flush. Pending FILLED stacks launch together; the (at most one per key)
+    # partial tail batch launches alone — stacking it would row-pad it to the
+    # full batch size and cost an entire extra scan step of device time to
+    # save one launch (the run_planned identical-row-count rule).
+    for key in sorted(ready):
+        dispatch_ready(key, force=True)
     for key in sorted(accum):
-        dispatch(key, accum.pop(key))
+        with timer.stage("h_dispatch"):
+            _dispatch_launch(
+                engine, [make_pb(key, accum.pop(key))], key[1], out,
+                max_label_count, failures, in_flight,
+            )
 
-    _drain_in_flight(engine, in_flight, out, max_label_count, failures)
+    with timer.stage("h_drain"):
+        _drain_in_flight(engine, in_flight, out, max_label_count, failures)
     return out
 
 

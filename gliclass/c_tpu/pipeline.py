@@ -110,11 +110,13 @@ class ZeroShotClassificationPipeline:
             for i in range(len(texts))
         ]
         if self.runtime.overlap_enabled():
-            # Tokenization overlaps device execution (async dispatch).
+            # Tokenization overlaps device execution (async dispatch). The
+            # same timer also receives the host-side attribution of the
+            # streamed plan (h_tokenize / h_dispatch / h_drain sub-stages).
             with timer.stage("tokenize_device"):
                 probs = plan_and_run_overlapped(
                     self.engine, self.tokenizer, prompts, counts, self.runtime,
-                    len(texts), max(counts), failures=failures,
+                    len(texts), max(counts), failures=failures, timer=timer,
                 )
         else:
             with timer.stage("tokenize_plan"):

@@ -34,7 +34,10 @@ class StageTimer:
 
     @property
     def total(self) -> float:
-        return sum(self.stages.values())
+        # "h_"-prefixed stages are NESTED attributions recorded inside another
+        # stage (the streamed plan's host breakdown inside tokenize_device);
+        # excluding them keeps `total` equal to actual wall time.
+        return sum(v for k, v in self.stages.items() if not k.startswith("h_"))
 
     def throughput(self, count_name: str = "texts") -> float:
         n = self.counts.get(count_name, 0)

@@ -208,7 +208,15 @@ def _component_costs(cfg: GLiClassConfig, batch: int, seq: int,
     K2 = 2 * (bb.position_buckets if bb.position_buckets > 0 else S)
 
     qkv_o = (4 * 2 * M * H * H, 4 * H * H * wb + 8 * M * H * act)
-    ffn = (2 * 2 * M * H * I, 2 * H * I * wb + 2 * M * H * act + 2 * M * I * act)
+    # FFN byte model: the [M, I] intermediate round trip (2*M*I*act) exists
+    # only when the fused Pallas kernel does NOT engage — with it the
+    # intermediate is VMEM-resident (ops/fused_ffn.py; same predicate).
+    from ..ops.fused_ffn import fused_ffn_applies
+
+    ffn_bytes = 2 * H * I * wb + 2 * M * H * act
+    if not fused_ffn_applies(H, I, M, quant_mode):
+        ffn_bytes += 2 * M * I * act
+    ffn = (2 * 2 * M * H * I, ffn_bytes)
 
     attn_flops = 4 * 2 * M * H * H + 2 * 2 * B * h * S * S * d  # proj + qk/pv
     attn_bytes = 4 * H * H * wb + 8 * M * H * act
@@ -294,7 +302,11 @@ def per_kernel_report(
         ) + linear(p_q, x, dtype)
 
     def probe_ffn(x):
-        return linear(p_down, activation(bb.hidden_act)(linear(p_up, x, dtype)), dtype)
+        # the REAL serving building block: routes to the fused Pallas kernel
+        # exactly when the engine's forward would (ops/fused_ffn.py)
+        from ..ops.fused_ffn import fused_ffn
+
+        return fused_ffn(p_up, p_down, x, bb.hidden_act, dtype)
 
     def probe_attn(xs):
         from ..models.deberta import disentangled_attention

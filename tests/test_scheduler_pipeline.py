@@ -368,6 +368,53 @@ def test_pipelined_tokenize_producer_shutdown(setup, monkeypatch):
     )
 
 
+def test_streamed_plan_stacks_filled_batches(setup):
+    """The streamed plan folds filled same-shape batches into stacked
+    launches (geometric growth 1,2,4,... capped at _MAX_STACK) — r3 paid one
+    fresh-input launch per batch on the default path while the barrier plan
+    already stacked (VERDICT r3 task 1). Results must equal the barrier plan
+    exactly, and the stacked executables must actually engage."""
+    from gliclass.c_tpu.parallel.scheduler import plan_and_run_overlapped
+    from gliclass.c_tpu.utils.metrics import StageTimer
+
+    tok, cfg, engine = setup
+    eng = InferenceEngine(cfg, engine.params, RT)  # fresh step cache
+    n = 40  # bs=4 -> 10 filled batches of one shape key
+    prompts = [pack_prompt(f"science fox {i}", ["a", "b"], True) for i in range(n)]
+    timer = StageTimer()
+    streamed = plan_and_run_overlapped(
+        eng, tok, prompts, [2] * n, RT, n, 2, chunk=8, timer=timer
+    )
+    # stacked steps were traced and used (nb=2 and nb=4 from geometric growth)
+    stack_keys = [k for k in eng._steps if isinstance(k[0], str) and k[0] == "stack"]
+    assert stack_keys, f"no stacked executables engaged: {list(eng._steps)}"
+    # host attribution recorded for the breakdown (h_* nested stages)
+    assert {"h_tokenize", "h_dispatch", "h_drain"} <= set(timer.stages)
+    planned = plan_batches(tok, prompts, [2] * n, RT)
+    np.testing.assert_allclose(
+        streamed, run_planned(eng, planned, n, 2), atol=1e-6
+    )
+
+
+def test_streamed_plan_stack_opt_out(setup, monkeypatch):
+    """GLICLASS_TPU_STREAM_STACK=0 restores one-launch-per-batch (A/B knob)."""
+    from gliclass.c_tpu.parallel.scheduler import plan_and_run_overlapped
+
+    tok, cfg, engine = setup
+    monkeypatch.setenv("GLICLASS_TPU_STREAM_STACK", "0")
+    eng = InferenceEngine(cfg, engine.params, RT)
+    n = 24
+    prompts = [pack_prompt(f"science fox {i}", ["a", "b"], True) for i in range(n)]
+    streamed = plan_and_run_overlapped(eng, tok, prompts, [2] * n, RT, n, 2, chunk=8)
+    assert not any(
+        isinstance(k[0], str) and k[0] == "stack" for k in eng._steps
+    )
+    planned = plan_batches(tok, prompts, [2] * n, RT)
+    np.testing.assert_allclose(
+        streamed, run_planned(eng, planned, n, 2), atol=1e-6
+    )
+
+
 def test_row_bucket_clamps_at_batch_size(setup):
     """A FULL batch at a non-power-of-two batch_size must never pad past
     itself: with batch_size=96 the hot path would otherwise pad 96->128 and

@@ -203,6 +203,59 @@ def main() -> None:
             rows = per_kernel_report(cfg, B_, S, quant_mode=quant_mode, chip="v5e")
             log(f"per-kernel SoL @ [B={B_}, S={S}]:\n" + format_kernel_report(rows))
 
+    # Decoder-backbone config (stderr only): gliclass-qwen-1.5B geometry, the
+    # checkpoint family the reference's launcher cannot load at all
+    # (reference Readme.md:91-95). Measured on-chip with its own golden
+    # selftest + per-kernel table (VERDICT r3 task 6).
+    if os.environ.get("BENCH_SKIP_DECODER") != "1":
+        import dataclasses
+
+        from gliclass.c_tpu.utils.eval import golden_logit_check
+
+        q_bundle = ensure_realscale_bundle(log=log, variant="qwen")
+        log(f"decoder bundle: {q_bundle} ({time.time()-t0:.1f}s elapsed)")
+        q_rt = dataclasses.replace(
+            runtime,
+            batch_size=int(os.environ.get("BENCH_DECODER_BATCH", "64")),
+            threshold=0.5,
+        )
+        q_pipe = ZeroShotClassificationPipeline.from_bundle(q_bundle, q_rt)
+        q_cfg = q_pipe.engine.cfg
+        q_worst = golden_logit_check(q_pipe, B.load_goldens(q_bundle), q_rt)
+        q_ok = q_worst <= 0.15
+        log(f"decoder selftest: max |logit delta| = {q_worst:.4f} "
+            f"(tol 0.15, INT8) {'PASS' if q_ok else 'FAIL'}")
+        n_q = int(os.environ.get("BENCH_DECODER_TEXTS", "256"))
+        q_job = parse_job(
+            {
+                "texts": texts[:n_q],
+                "labels": labels,
+                "same_labels": True,
+                "classification_type": "multi-label",
+            }
+        )
+        q_pipe.classify_job(q_job)  # compile
+        q_dt, q_out = float("inf"), None
+        for _ in range(3):
+            t = time.perf_counter()
+            o = q_pipe.classify_job(q_job)
+            d = time.perf_counter() - t
+            if d < q_dt:
+                q_dt, q_out = d, o
+        log(f"decoder (qwen-1.5B geometry, {n_q} texts): "
+            f"{n_q/q_dt:.1f} texts/s; stages {q_out.timings}")
+        if platform == "tpu" and os.environ.get("BENCH_SKIP_KERNEL_TABLE") != "1":
+            from gliclass.c_tpu.utils.perf import (
+                format_kernel_report,
+                per_kernel_report,
+            )
+
+            rows = per_kernel_report(
+                q_cfg, q_rt.batch_size, 96, quant_mode=quant_mode, chip="v5e"
+            )
+            log(f"decoder per-kernel SoL @ [B={q_rt.batch_size}, S=96]:\n"
+                + format_kernel_report(rows))
+
     print(
         json.dumps(
             {

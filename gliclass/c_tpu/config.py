@@ -335,3 +335,20 @@ def deberta_v3_config(size: str) -> BackboneConfig:
         "large": dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16, intermediate_size=4096),
     }
     return BackboneConfig(model_type="deberta-v2", **sizes[size])
+
+
+def qwen2_config(size: str = "1.5b") -> BackboneConfig:
+    """Qwen2 decoder geometry (the gliclass-qwen-1.5B-v1.0 backbone — a
+    checkpoint the reference's launcher cannot load at all, reference
+    Readme.md:91-95)."""
+    sizes = {
+        # Qwen/Qwen2-1.5B geometry
+        "1.5b": dict(
+            hidden_size=1536, num_hidden_layers=28, num_attention_heads=12,
+            num_key_value_heads=2, intermediate_size=8960, vocab_size=151936,
+            max_position_embeddings=32768, rope_theta=1_000_000.0,
+            hidden_act="silu", rms_norm_eps=1e-6,
+        ),
+    }
+    return BackboneConfig(model_type="qwen2", relative_attention=False,
+                          **sizes[size])

@@ -160,6 +160,9 @@ def gliclass_step_cost(
     act = compute_dtype_bytes
     wbytes = 1 if quant_mode in ("int8", "int8-dynamic") else act
 
+    if bb.model_type in ("llama", "qwen2"):
+        return _causal_step_cost(cfg, batch, seq, quant_mode, act, wbytes)
+
     c = StepCost()
     # --- MXU FLOPs ---
     c.flops["qkv_o_proj"] = L * 4 * 2 * M * H * H
@@ -190,6 +193,44 @@ def gliclass_step_cost(
     return c
 
 
+def _causal_step_cost(
+    cfg: GLiClassConfig, batch: int, seq: int, quant_mode: str,
+    act: int, wbytes: int,
+) -> StepCost:
+    """Cost terms for the llama/qwen2 decoder backbones (models/llama.py):
+    GQA projections, SwiGLU MLP (3 matmuls), causal XLA attention that
+    materializes [B, h, S, S] scores+probs (no Pallas route — measured
+    analysis in fused_attention.py scope notes; at qwen-1.5B geometry the
+    SwiGLU weights (gate+up 27 MB int8) cannot stay VMEM-resident, so the
+    fused-FFN trade inverts: streaming weights once per row tile costs more
+    than the intermediate round trip it saves)."""
+    bb = cfg.backbone
+    H, I, L = bb.hidden_size, bb.intermediate_size, bb.num_hidden_layers
+    h, d, kv = bb.num_attention_heads, bb.head_dim, bb.kv_heads
+    B, S = batch, seq
+    M = B * S
+
+    c = StepCost()
+    c.flops["qkv_o_proj"] = L * (
+        2 * M * H * (h * d)        # q
+        + 2 * 2 * M * H * (kv * d) # k, v
+        + 2 * M * (h * d) * H      # o
+    )
+    c.flops["ffn"] = L * 3 * 2 * M * H * I  # gate + up + down
+    c.flops["attn_content_pv"] = L * 2 * 2 * B * h * S * S * d  # qk + pv
+    c.flops["head"] = 2 * 2 * M * H * H  # projector upper bound (as encoder)
+
+    c.hbm_bytes["weights"] = L * (
+        (2 * H * h * d + 2 * H * kv * d + 3 * H * I) * wbytes
+    )
+    c.hbm_bytes["activations"] = L * 4 * 2 * M * H * act
+    # XLA attention materializes scores and probs [B, h, S, S]: write + read
+    # each (the first-order byte term of the unkernelized causal path).
+    c.hbm_bytes["attn_scores"] = L * 4 * B * h * S * S * act
+    c.hbm_bytes["embeddings"] = M * H * act
+    return c
+
+
 # ---------------------------------------------------------------------------
 # Per-kernel measured-vs-SoL probes (BASELINE.md: per-kernel accounting)
 # ---------------------------------------------------------------------------
@@ -205,6 +246,28 @@ def _component_costs(cfg: GLiClassConfig, batch: int, seq: int,
     B, S = batch, seq
     M = B * S
     wb = 1 if quant_mode in ("int8", "int8-dynamic") else act
+
+    if bb.model_type in ("llama", "qwen2"):
+        cc = _causal_step_cost(cfg, B, S, quant_mode, act, wb)
+        L = bb.num_hidden_layers
+        kv = bb.kv_heads
+        proj_w = (2 * H * h * d + 2 * H * kv * d) * wb
+        return {
+            "qkv_o_proj": (
+                cc.flops["qkv_o_proj"] / L, proj_w + 8 * M * H * act,
+            ),
+            # SwiGLU bytes: 3 weights + x in / y out + the [M, I] gate/up
+            # writes and their fused read into the down matmul (~4 passes)
+            "ffn": (
+                cc.flops["ffn"] / L,
+                3 * H * I * wb + 2 * M * H * act + 4 * M * I * act,
+            ),
+            "attn_total": (
+                cc.flops["qkv_o_proj"] / L + cc.flops["attn_content_pv"] / L,
+                proj_w + 8 * M * H * act + cc.hbm_bytes["attn_scores"] / L,
+            ),
+        }
+
     K2 = 2 * (bb.position_buckets if bb.position_buckets > 0 else S)
 
     qkv_o = (4 * 2 * M * H * H, 4 * H * H * wb + 8 * M * H * act)
@@ -283,39 +346,77 @@ def per_kernel_report(
     x = jnp.asarray(rng.standard_normal((M, H)), dtype)
     xs = jnp.asarray(rng.standard_normal((batch, seq, H)), dtype)
 
-    p_q, p_k, p_v, p_o = (dense(H, H) for _ in range(4))
-    p_up, p_down = dense(H, I), dense(I, H)
+    h_, d_ = bb.num_attention_heads, bb.head_dim
+    if bb.model_type in ("llama", "qwen2"):
+        # Causal (GQA) building blocks: the real models/llama.py path.
+        from ..models.llama import llama_attention, rope_tables
 
-    max_rel = bb.max_relative_positions
-    if max_rel < 1:
-        max_rel = bb.max_position_embeddings
-    span = bb.position_buckets if bb.position_buckets > 0 else max_rel
-    c2p_np, p2c_np = rel_bias_columns(seq, span, bb.position_buckets, max_rel)
-    rel_emb = jnp.asarray(rng.standard_normal((2 * span, H)), dtype)
-    ones_mask = jnp.ones((batch, seq), jnp.int32)
-    pair_mask = jnp.ones((batch, seq, seq), bool)
-    c2p_cols, p2c_cols = jnp.asarray(c2p_np), jnp.asarray(p2c_np)
+        kv = bb.kv_heads
+        p_q, p_o = dense(H, h_ * d_), dense(h_ * d_, H)
+        p_k, p_v = dense(H, kv * d_), dense(H, kv * d_)
+        p_gate, p_up, p_down = dense(H, I), dense(H, I), dense(I, H)
+        causal_np = np.tril(np.ones((seq, seq), dtype=bool))
+        mask_bias = jnp.broadcast_to(
+            jnp.where(jnp.asarray(causal_np)[None], 0.0, float(np.finfo(np.float32).min)),
+            (batch, seq, seq),
+        ).astype(jnp.float32)
+        cos_np, sin_np = rope_tables(seq, d_, bb.rope_theta)
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
-    def probe_qkv_o(x):
-        return linear(p_o, linear(p_v, x, dtype), dtype) + linear(
-            p_k, x, dtype
-        ) + linear(p_q, x, dtype)
+        def probe_qkv_o(x):
+            y = linear(p_o, linear(p_q, x, dtype), dtype)
+            pad = jnp.zeros((x.shape[0], H - kv * d_), dtype)
+            return (
+                y
+                + jnp.concatenate([linear(p_k, x, dtype), pad], -1)
+                + jnp.concatenate([linear(p_v, x, dtype), pad], -1)
+            )
 
-    def probe_ffn(x):
-        # the REAL serving building block: routes to the fused Pallas kernel
-        # exactly when the engine's forward would (ops/fused_ffn.py)
-        from ..ops.fused_ffn import fused_ffn
+        def probe_ffn(x):
+            return linear(
+                p_down,
+                jax.nn.silu(linear(p_gate, x, dtype)) * linear(p_up, x, dtype),
+                dtype,
+            )
 
-        return fused_ffn(p_up, p_down, x, bb.hidden_act, dtype)
+        def probe_attn(xs):
+            p_attn = {"q": p_q, "k": p_k, "v": p_v, "o": p_o}
+            return llama_attention(p_attn, xs, mask_bias, cos, sin, bb, dtype)
 
-    def probe_attn(xs):
-        from ..models.deberta import disentangled_attention
+    else:
+        p_q, p_k, p_v, p_o = (dense(H, H) for _ in range(4))
+        p_up, p_down = dense(H, I), dense(I, H)
 
-        p_attn = {"q": p_q, "k": p_k, "v": p_v, "o": p_o}
-        return disentangled_attention(
-            p_attn, xs, rel_emb, pair_mask, c2p_cols, p2c_cols, bb, dtype,
-            key_mask=ones_mask,
-        )
+        max_rel = bb.max_relative_positions
+        if max_rel < 1:
+            max_rel = bb.max_position_embeddings
+        span = bb.position_buckets if bb.position_buckets > 0 else max_rel
+        c2p_np, p2c_np = rel_bias_columns(seq, span, bb.position_buckets, max_rel)
+        rel_emb = jnp.asarray(rng.standard_normal((2 * span, H)), dtype)
+        ones_mask = jnp.ones((batch, seq), jnp.int32)
+        pair_mask = jnp.ones((batch, seq, seq), bool)
+        c2p_cols, p2c_cols = jnp.asarray(c2p_np), jnp.asarray(p2c_np)
+
+        def probe_qkv_o(x):
+            return linear(p_o, linear(p_v, x, dtype), dtype) + linear(
+                p_k, x, dtype
+            ) + linear(p_q, x, dtype)
+
+        def probe_ffn(x):
+            # the REAL serving building block: routes to the fused Pallas
+            # kernel exactly when the engine's forward would (ops/fused_ffn.py)
+            from ..ops.fused_ffn import fused_ffn
+
+            return fused_ffn(p_up, p_down, x, bb.hidden_act, dtype)
+
+        def probe_attn(xs):
+            from ..models.deberta import disentangled_attention
+
+            p_attn = {"q": p_q, "k": p_k, "v": p_v, "o": p_o}
+            return disentangled_attention(
+                p_attn, xs, rel_emb, pair_mask, c2p_cols, p2c_cols, bb, dtype,
+                key_mask=ones_mask,
+            )
 
     def chain(fn, n):
         @jax.jit
@@ -376,9 +477,16 @@ def per_kernel_report(
     mm_peak = _matmul_peak(peaks, quant_mode)
     # Attention mixes dense projections (int8-dynamic-able) with bf16 score/
     # context einsums: price each part against its own peak.
-    dense_attn_flops = 4 * 2 * M * H * H
-    if bb.relative_attention:
-        dense_attn_flops += 2 * 2 * (2 * span) * H * H
+    if bb.model_type in ("llama", "qwen2"):
+        dense_attn_flops = (
+            2 * M * H * (h_ * d_)
+            + 2 * 2 * M * H * (bb.kv_heads * d_)
+            + 2 * M * (h_ * d_) * H
+        )
+    else:
+        dense_attn_flops = 4 * 2 * M * H * H
+        if bb.relative_attention:
+            dense_attn_flops += 2 * 2 * (2 * span) * H * H
     rows = []
     for name, fn, arg in probes:
         ms = measure(fn, arg)

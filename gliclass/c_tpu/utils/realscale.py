@@ -101,8 +101,19 @@ def build_realscale_tokenizer(
     tok.save(path)
 
 
-def ensure_realscale_bundle(root: str | None = None, log=None) -> str:
+QWEN_VOCAB = 151936  # vocab_size of Qwen/Qwen2-1.5B (gliclass-qwen-1.5B)
+
+
+def ensure_realscale_bundle(
+    root: str | None = None, log=None, variant: str = "base"
+) -> str:
     """Build (once) and return the path of the real-scale bundle.
+
+    ``variant``: "base" = knowledgator/gliclass-base-v1.0 geometry (186M,
+    DeBERTa-v3-base backbone); "qwen" = gliclass-qwen-1.5B-v1.0 geometry
+    (1.5B, Qwen2-1.5B decoder backbone with its own 151,936-piece BPE) —
+    the decoder-backbone artifact the reference cannot load at all
+    (reference Readme.md:91-95).
 
     Cached under GLICLASS_REALSCALE_DIR (default ~/.cache/gliclass_realscale);
     subsequent calls return instantly. The build runs the full converter:
@@ -122,36 +133,51 @@ def ensure_realscale_bundle(root: str | None = None, log=None) -> str:
         "GLICLASS_REALSCALE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "gliclass_realscale"),
     )
-    bundle = os.path.join(root, "bundle")
+    assert variant in ("base", "qwen"), variant
+    sub = "" if variant == "base" else variant
+    bundle = os.path.join(root, sub, "bundle") if sub else os.path.join(root, "bundle")
     done = os.path.join(bundle, ".complete")
     if os.path.exists(done):
         return bundle
 
-    tok_path = os.path.join(root, "tokenizer.json")
-    if not os.path.exists(tok_path):
-        log(f"[realscale] training {REALSCALE_VOCAB}-piece BPE tokenizer "
-            "(one-time, a few minutes)...")
-        build_realscale_tokenizer(tok_path)
-
-    log("[realscale] building torch reference model at base-v1.0 geometry...")
     import torch
 
-    from ..config import GLiClassConfig, deberta_v3_config
+    from ..config import GLiClassConfig, deberta_v3_config, qwen2_config
     from ..convert.convert import export_bundle
     from ..convert.torch_ref import build_torch_gliclass
     from ..tokenization import PromptTokenizer
 
+    if variant == "qwen":
+        vocab = QWEN_VOCAB
+        tok_path = os.path.join(root, sub, "tokenizer.json")
+        backbone = qwen2_config("1.5b")
+        name = ("knowledgator/gliclass-qwen-1.5B-v1.0 (geometry; offline "
+                "random init — no hub access in this environment)")
+        hidden = backbone.hidden_size
+    else:
+        vocab = REALSCALE_VOCAB
+        tok_path = os.path.join(root, "tokenizer.json")
+        backbone = deberta_v3_config("base")
+        name = ("knowledgator/gliclass-base-v1.0 (geometry; offline random "
+                "init — no hub access in this environment)")
+        hidden = 768
+    if not os.path.exists(tok_path):
+        log(f"[realscale] training {vocab}-piece BPE tokenizer "
+            "(one-time, a few minutes)...")
+        build_realscale_tokenizer(tok_path, vocab_size=vocab,
+                                  max_mb=96 if variant == "base" else 160)
+
+    log(f"[realscale] building torch reference model at {variant} geometry...")
     ptok = PromptTokenizer.from_file(tok_path)
     cfg = GLiClassConfig(
-        original_model_name="knowledgator/gliclass-base-v1.0 (geometry; "
-        "offline random init — no hub access in this environment)",
-        hidden_size=768,
+        original_model_name=name,
+        hidden_size=hidden,
         prompt_first=True,
         class_token_index=ptok.label_token_id,
         text_token_index=ptok.sep_token_id,
-        backbone=deberta_v3_config("base"),
+        backbone=backbone,
     )
-    assert cfg.backbone.vocab_size == REALSCALE_VOCAB, cfg.backbone.vocab_size
+    assert cfg.backbone.vocab_size == vocab, cfg.backbone.vocab_size
     torch.manual_seed(0)
     model = build_torch_gliclass(cfg, seed=0)
     log("[realscale] exporting bundle (convert + goldens + INT8)...")

@@ -178,7 +178,15 @@ class InferenceEngine:
         instead of one per batch moves that cost off the critical path. The
         reference pays the per-batch equivalent on every ``session.Run``
         (reference src/model.c:159); XLA lets us fold the batch loop into the
-        compiled program instead."""
+        compiled program instead.
+
+        Measured trade (r4, [128,96] w8a8, v5e): a scan iteration costs
+        ~+2.2 ms over the SAME step as a single launch (17.3 vs 15.0 ms,
+        chain-differenced) — the scan serializes step boundaries that
+        pipelined launches overlap. Stacking therefore pays only when the
+        per-launch overhead actually exceeds that (fresh-input launches
+        through the tunnel, many tiny serving batches), which is why the
+        streamed plan stacks same-chunk bursts but never waits to stack."""
         key = ("stack", seq_len, max_labels, nb)
         step = self._steps.get(key)
         if step is None:

@@ -358,9 +358,10 @@ def encoder_layer(
         key_mask,
     )
     x = layer_norm(p["attn"]["ln"], attn_out + x, cfg.layer_norm_eps)
-    # Fused up->act->down (ops/fused_ffn.py): the [M, I] intermediate stays
-    # VMEM-resident on TPU INT8 paths; elsewhere this composes the same
-    # linear/activation/linear the reference's ONNX graph runs op-by-op.
+    # FFN through ops/fused_ffn.py: by default this composes the same
+    # linear/activation/linear the reference's ONNX graph runs op-by-op
+    # (measured fastest in-graph); GLICLASS_TPU_FUSED_FFN=1 routes the
+    # VMEM-resident fused Pallas kernel for A/B.
     from ..ops.fused_ffn import fused_ffn
 
     h = fused_ffn(p["ffn"]["up"], p["ffn"]["down"], x, cfg.hidden_act,

@@ -25,6 +25,11 @@ constant index maps, so Mosaic fetches them once and revolves only the row
 tiles. VMEM budget at bm=256, H=768, I=3072: ~2.25+2.25 (weights) + 0.4 (x,
 double-buffered) + 3.0 (f32 intermediate) + 0.4 (out) ~= 8.7 MB of 16.
 
+STATUS: verified A/B path, OPT-IN via GLICLASS_TPU_FUSED_FFN=1 — the kernel
+wins its isolated probe but loses ~1.8 ms/step inside the full engine graph
+(see :func:`_fused_enabled` for the r4 measurements and the scheduling
+analysis). The serving default is the composed ops.layers path.
+
 Fallback: non-TPU platforms, fp32 parity mode, or shapes off the MXU grid
 (H or I not a multiple of 128, M not a multiple of 8) use the composed
 ops.layers path — identical math, just with the HBM round trip.
@@ -146,13 +151,29 @@ def fused_ffn_applies(H: int, I: int, m: int, quant_mode: str) -> bool:
         and H % 128 == 0
         and I % 128 == 0
         and m % 8 == 0
-        and os.environ.get("GLICLASS_TPU_FUSED_FFN", "auto") != "0"
+        and os.environ.get("GLICLASS_TPU_FUSED_FFN") == "1"
     )
 
 
 def _fused_enabled() -> bool:
-    v = os.environ.get("GLICLASS_TPU_FUSED_FFN", "auto")
-    if v == "0":
+    """OPT-IN only (GLICLASS_TPU_FUSED_FFN=1). Measured on v5e (r4,
+    gliclass-base w8a8, [128,96]):
+
+      * isolated probe: fused 0.382 ms vs composed 0.470 ms (0.77 vs 0.63 of
+        byte-model SoL) — the kernel genuinely eliminates the [M, I]
+        intermediate round trip;
+      * FULL engine step, single launches (chain-differenced): fused 16.8 ms
+        vs composed 15.0 ms — the pallas_call is a scheduling barrier XLA
+        cannot overlap with the surrounding attention/projection streams,
+        while the unfused matmul pair overlaps freely. Stacked scan steps
+        measured the two within 0.5 ms (16.9 vs 17.3).
+
+    Same inversion class as the S>=512 bias-softmax "xla" impl (probe win,
+    in-graph loss). The probe's byte model is real but the step is not
+    FFN-byte-bound once XLA overlaps the round trip with other streams, so
+    the composed path stays the serving default and the kernel remains a
+    verified A/B path."""
+    if os.environ.get("GLICLASS_TPU_FUSED_FFN") != "1":
         return False
     try:
         return jax.devices()[0].platform == "tpu"

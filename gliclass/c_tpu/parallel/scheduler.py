@@ -308,12 +308,16 @@ def plan_and_run_overlapped(
     the streamed plan cannot GIL-starve dispatch — the failure mode that made
     full multi-threaded overlap slower than the barrier plan on a 2-CPU host.
 
-    Filled same-shape batches are folded into STACKED launches with geometric
-    growth (1, 2, 4, ... up to ``_MAX_STACK`` per shape key): the first batch
-    reaches the device immediately (overlap preserved), later batches amortize
-    the fixed per-launch host cost that dominates at serving shapes (~4 ms
-    per fresh-input launch through a tunneled PJRT stack — the reason
-    ``run_planned`` stacks; r3 paid it once per batch here).
+    Filled same-shape batches are folded into STACKED launches with a
+    SELF-CLOCKING policy: every arrival dispatches ALL currently-ready
+    batches of its shape key as one launch (capped at ``_MAX_STACK``). When
+    tokenize is slower than the device (the measured headline regime), each
+    launch carries one batch and nothing ever waits; when batches arrive
+    faster than the device drains (bursts, short sequences), stacks grow
+    naturally and amortize the fixed per-launch host cost. This replaced a
+    geometric-quota policy (1,2,4,...) that was measured HOLDING BATCHES
+    BACK in the tokenize-paced regime — the device idled while a quota
+    waited to fill (260 -> 220 ms headline on the tunneled v5e).
     GLICLASS_TPU_STREAM_STACK=0 restores one-launch-per-batch for A/B.
 
     ``timer``: optional StageTimer receiving the host-side attribution of
@@ -327,10 +331,8 @@ def plan_and_run_overlapped(
     import os
 
     bs = runtime.batch_size
-    workers = runtime.effective_tokenizer_workers()
     accum: dict[tuple[int, int], list[tuple[int, np.ndarray, int]]] = {}
     ready: dict[tuple[int, int], list[PlannedBatch]] = {}
-    next_stack: dict[tuple[int, int], int] = {}
     stack_cap = (
         1 if os.environ.get("GLICLASS_TPU_STREAM_STACK") == "0" else _MAX_STACK
     )
@@ -353,36 +355,49 @@ def plan_and_run_overlapped(
             idxs.append(i)
         return PlannedBatch(idxs, TokenizedBatch(ids, mask, lens), lb)
 
-    def dispatch_ready(key: tuple[int, int], force: bool = False):
-        quota = next_stack.get(key, 1)
-        pbs = ready.get(key, [])
-        if not pbs or (not force and len(pbs) < quota):
+    def dispatch_ready(key: tuple[int, int]):
+        """Launch every ready batch of this key now (one stacked launch,
+        chunked at the stack cap)."""
+        pbs = ready.pop(key, [])
+        if not pbs:
             return
         with timer.stage("h_dispatch"):
-            _dispatch_launch(
-                engine, ready.pop(key), key[1], out, max_label_count,
-                failures, in_flight,
-            )
-        next_stack[key] = min(quota * 2, stack_cap)
+            for c0 in range(0, len(pbs), stack_cap):
+                _dispatch_launch(
+                    engine, pbs[c0 : c0 + stack_cap], key[1], out,
+                    max_label_count, failures, in_flight,
+                )
 
     def encoded_chunks():
-        """(chunk start, encoded chunk) stream. Single-thread by default;
-        GLICLASS_TPU_PIPELINE_TOKENIZE=1 runs the tokenizer in a producer
-        thread so the Rust BPE (GIL-releasing) encodes chunk k+1 while this
-        thread assembles and dispatches chunk k. Measured NEUTRAL on the
-        2-CPU v5e host (8-rep alternating A/B: best 222 vs 229 ms, medians
-        equal — single-thread streaming already hides tokenize under device
-        time there); kept opt-in for hosts with more cores."""
+        """(chunk start, encoded chunk) stream. DEFAULT: producer thread —
+        the Rust BPE (GIL-releasing, Rayon-parallel internally) encodes chunk
+        k+1 while this thread assembles and dispatches chunk k, so tokenize
+        runs continuously instead of gapping between dispatch work. Measured
+        on the 2-CPU v5e host (r4, 1024-text headline): 238 ms single-thread
+        -> 206 ms producer-thread, with tight run-to-run variance (r3 had
+        measured the producer NEUTRAL, but that was with Python-side
+        sub-chunked tokenize at 1 worker, which starved Rayon — see sync()).
+        GLICLASS_TPU_PIPELINE_TOKENIZE=0 restores single-thread streaming."""
         import os
 
         def sync():
-            for c0 in range(0, len(prompts), chunk):
-                yield c0, tokenizer.encode_batch_parallel(
-                    prompts[c0 : c0 + chunk], max_length=runtime.max_length,
-                    pad_to=None, chunk_size=64, workers=workers,
+            # Ramped chunk sizes: a small first chunk reaches the device fast
+            # (latency), later chunks grow to the full ``chunk`` (throughput).
+            # Each chunk is ONE Rust encode_batch call — the tokenizers core
+            # parallelizes internally (Rayon); Python-side sub-chunking with
+            # capped workers only added overhead on the 2-CPU host (measured:
+            # 63 ms for one 1024-prompt call vs 75-83 ms sub-chunked).
+            sizes = [s for s in (64, 128) if s < chunk] or [chunk]
+            c0 = 0
+            while c0 < len(prompts):
+                n = sizes.pop(0) if sizes else chunk
+                yield c0, tokenizer.encode_batch(
+                    prompts[c0 : c0 + n], max_length=runtime.max_length,
+                    pad_to=None,
                 )
+                c0 += n
 
-        if os.environ.get("GLICLASS_TPU_PIPELINE_TOKENIZE") != "1":
+        if os.environ.get("GLICLASS_TPU_PIPELINE_TOKENIZE", "1") == "0":
             yield from sync()
             return
         q: queue.Queue = queue.Queue(maxsize=4)
@@ -432,6 +447,7 @@ def plan_and_run_overlapped(
         if item is None:
             break
         c0, enc = item
+        touched = set()
         for j in range(len(enc.lengths)):
             i = c0 + j
             L = int(enc.lengths[j])
@@ -442,13 +458,18 @@ def plan_and_run_overlapped(
             if len(accum[key]) == bs:
                 with timer.stage("h_dispatch"):
                     ready.setdefault(key, []).append(make_pb(key, accum.pop(key)))
-                dispatch_ready(key)
+                touched.add(key)
+        # Dispatch once per chunk: batches filled WITHIN one tokenize chunk
+        # stack together (sub-ms extra latency), batches from different
+        # chunks never wait on each other.
+        for key in sorted(touched):
+            dispatch_ready(key)
     # Flush. Pending FILLED stacks launch together; the (at most one per key)
     # partial tail batch launches alone — stacking it would row-pad it to the
     # full batch size and cost an entire extra scan step of device time to
     # save one launch (the run_planned identical-row-count rule).
     for key in sorted(ready):
-        dispatch_ready(key, force=True)
+        dispatch_ready(key)
     for key in sorted(accum):
         with timer.stage("h_dispatch"):
             _dispatch_launch(

@@ -29,6 +29,25 @@ CHIP_PEAKS = {
     "v5p": {"bf16_tflops": 459.0, "int8_tops": 918.0, "hbm_gbps": 2765.0},
 }
 
+# Measured per-text step cost vs batch size (v5e, gliclass-base w8a8, S=96,
+# chain-differenced single launches, r4) — the ">=192 superlinear cliff"
+# quantified and LOCALIZED: dense projections and FFN stay flat per text
+# (component probes: qkv_o 1.9/1.8/1.5, ffn 3.2/3.2/3.5 us/text at
+# B=128/192/256) while the XLA table-path attention inflates
+# (5.4 -> 8.7 -> 7.4 us/text). Cause: the bias-table einsums
+# ("bhid,hdij->bhij") lower to batched matmuls with batch dims (h, S) and
+# M = B; beyond M=128 XLA's tiling/fusion of the [B,h,S,S] score pipeline
+# loses efficiency (a plain content-attention probe shows the same break at
+# B=256: 0.2 -> 1.0 us/text). B=128 is the routing sweet spot; batch sizing
+# should stay there rather than chase larger steps.
+BATCH_STEP_US_PER_TEXT_V5E = {64: 143.2, 96: 153.1, 128: 118.1, 192: 158.1, 256: 152.9}
+
+
+def preferred_batch_size(seq: int = 96) -> int:
+    """Measured-optimal serving batch for the deberta-base geometry on v5e
+    (see BATCH_STEP_US_PER_TEXT_V5E): 128 at every bucket measured."""
+    return 128
+
 
 def _matmul_peak(peaks: dict, quant_mode: str) -> float:
     """Dense-matmul peak for the quant mode: w8a8 ("int8-dynamic") runs the

@@ -379,11 +379,11 @@ def test_streamed_plan_stacks_filled_batches(setup):
 
     tok, cfg, engine = setup
     eng = InferenceEngine(cfg, engine.params, RT)  # fresh step cache
-    n = 40  # bs=4 -> 10 filled batches of one shape key
+    n = 40  # bs=4, chunk=32 -> 8 filled batches per chunk (a burst >= _STACK_MIN)
     prompts = [pack_prompt(f"science fox {i}", ["a", "b"], True) for i in range(n)]
     timer = StageTimer()
     streamed = plan_and_run_overlapped(
-        eng, tok, prompts, [2] * n, RT, n, 2, chunk=8, timer=timer
+        eng, tok, prompts, [2] * n, RT, n, 2, chunk=32, timer=timer
     )
     # stacked steps were traced and used (nb=2 and nb=4 from geometric growth)
     stack_keys = [k for k in eng._steps if isinstance(k[0], str) and k[0] == "stack"]

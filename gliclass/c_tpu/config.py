@@ -38,7 +38,11 @@ class RuntimeConfig:
     # instead of the reference's pad-to-batch-max (reference src/tokenizer.c:44-54),
     # which would trigger one recompile per distinct batch max-length. Finer
     # buckets at short lengths cut padding waste where most prompts live; each
-    # bucket costs one (cached) compile.
+    # bucket costs one (cached) compile. TUNE TO YOUR LENGTH DISTRIBUTION:
+    # measured on v5e (r4, prompts p10/50/90 = 51/70/91 tokens), a ~16-token
+    # ladder through the populated range lifted e2e 6,703 -> 7,865 texts/s
+    # (bench.py uses (56,72,88,104,120,128,...)); an 8-token ladder was WORSE
+    # (too many ragged tail batches).
     seq_buckets: tuple[int, ...] = (64, 96, 128, 192, 256, 384, 512, 1024, 2048)
     # Bucketing for the number of candidate labels per text (scoring-head width).
     label_buckets: tuple[int, ...] = (4, 8, 16, 32, 64)

@@ -126,6 +126,22 @@ def run_planned(
     partial results keep fail-fast behavior).
     """
     out = np.zeros((num_requests, max_label_count), dtype=np.float32)
+    in_flight = dispatch_planned(engine, planned, out, max_label_count, failures)
+    _drain_in_flight(engine, in_flight, out, max_label_count, failures)
+    return out
+
+
+def dispatch_planned(
+    engine: InferenceEngine,
+    planned: Sequence[PlannedBatch],
+    out: np.ndarray,
+    max_label_count: int,
+    failures: list[BatchFailure] | None,
+) -> "list[_InFlight]":
+    """Dispatch phase of :func:`run_planned`: stack-grouped async launches,
+    no waiting. The returned in-flight list goes to
+    :func:`_drain_in_flight` — possibly on ANOTHER thread (the streaming
+    scheduler drains round k while dispatching round k+1)."""
     in_flight: list[_InFlight] = []
 
     # Stack only batches of IDENTICAL row count (grouping key includes it):
@@ -145,8 +161,7 @@ def run_planned(
                 engine, pbs[c0 : c0 + _MAX_STACK], max_labels, out,
                 max_label_count, failures, in_flight,
             )
-    _drain_in_flight(engine, in_flight, out, max_label_count, failures)
-    return out
+    return in_flight
 
 
 def _dispatch_launch(
@@ -517,8 +532,11 @@ class StreamingScheduler:
 
     Requests are enqueued from any thread; a dispatcher thread micro-batches
     them (up to ``runtime.batch_size``, waiting at most ``max_wait_ms`` for the
-    batch to fill), groups by shape bucket, executes on the engine, and
-    fulfils each request's Future exactly once.
+    batch to fill), groups by shape bucket and dispatches async device
+    launches; a second drainer thread waits out each round's execution and
+    fulfils each request's Future exactly once. The two stages pipeline:
+    round k+1 tokenizes/dispatches while round k's results transfer (the
+    per-round result round trip no longer serializes rounds).
 
     ``max_pending`` bounds the request queue: submit() raises
     :class:`SchedulerOverloaded` instead of queueing unboundedly (the
@@ -546,6 +564,14 @@ class StreamingScheduler:
         # and its drain loop would hold a Future that is never resolved (the
         # caller would block until its timeout instead of failing fast).
         self._submit_lock = threading.Lock()
+        # Round pipeline: the dispatcher tokenizes+dispatches round k+1 while
+        # this thread waits out round k's device execution + result transfer
+        # (~30 ms round trip on a tunneled PJRT stack — serialized rounds
+        # made that the per-round latency floor). maxsize=2 bounds how many
+        # rounds can be in flight on device.
+        self._drain_q: queue.Queue = queue.Queue(maxsize=2)
+        self._drainer = threading.Thread(target=self._drain_loop, daemon=True)
+        self._drainer.start()
         self._thread.start()
 
     def submit(self, text: str, labels: Sequence[str], prompt_first: bool) -> Future:
@@ -585,6 +611,9 @@ class StreamingScheduler:
         except queue.Full:
             pass  # loop is draining; it re-checks _running every batch
         self._thread.join(timeout=30)
+        # the dispatcher's finally pushed the drain sentinel; the drainer
+        # finishes any in-flight rounds (fulfilling their futures) then exits
+        self._drainer.join(timeout=30)
         while True:
             try:
                 r = self._q.get_nowait()
@@ -616,22 +645,44 @@ class StreamingScheduler:
         return reqs
 
     def _loop(self):
-        while self._running:
-            reqs = self._collect()
-            if not reqs:
+        try:
+            while self._running:
+                reqs = self._collect()
+                if not reqs:
+                    break
+                try:
+                    planned = plan_batches(
+                        self.tokenizer,
+                        [r.prompt for r in reqs],
+                        [r.num_labels for r in reqs],
+                        self.runtime,
+                    )
+                    maxw = max(r.num_labels for r in reqs)
+                    failures: list[BatchFailure] = []
+                    out = np.zeros((len(reqs), maxw), dtype=np.float32)
+                    in_flight = dispatch_planned(
+                        self.engine, planned, out, maxw, failures
+                    )
+                    # Hand the round to the drainer; this thread immediately
+                    # collects/tokenizes/dispatches the next one.
+                    self._drain_q.put((reqs, out, maxw, failures, in_flight))
+                except Exception as e:  # fail this round, keep the loop
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+        finally:
+            self._drain_q.put(None)
+
+    def _drain_loop(self):
+        """Second pipeline stage: wait out each round's device execution,
+        transfer results, resolve its futures exactly once."""
+        while True:
+            item = self._drain_q.get()
+            if item is None:
                 break
+            reqs, out, maxw, failures, in_flight = item
             try:
-                planned = plan_batches(
-                    self.tokenizer,
-                    [r.prompt for r in reqs],
-                    [r.num_labels for r in reqs],
-                    self.runtime,
-                )
-                maxw = max(r.num_labels for r in reqs)
-                failures: list[BatchFailure] = []
-                probs = run_planned(
-                    self.engine, planned, len(reqs), maxw, failures=failures
-                )
+                _drain_in_flight(self.engine, in_flight, out, maxw, failures)
                 failed = {
                     i: f.error for f in failures for i in f.indices
                 }  # only the faulty batch's requests fail (post-retry)
@@ -639,8 +690,8 @@ class StreamingScheduler:
                     if i in failed:
                         r.future.set_exception(RuntimeError(failed[i]))
                     else:
-                        r.future.set_result(probs[i, : r.num_labels])
-            except Exception as e:  # fail every request of the batch, not the loop
+                        r.future.set_result(out[i, : r.num_labels])
+            except Exception as e:  # fail every request of the round
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)

@@ -38,11 +38,14 @@ class RuntimeConfig:
     # instead of the reference's pad-to-batch-max (reference src/tokenizer.c:44-54),
     # which would trigger one recompile per distinct batch max-length. Finer
     # buckets at short lengths cut padding waste where most prompts live; each
-    # bucket costs one (cached) compile. TUNE TO YOUR LENGTH DISTRIBUTION:
-    # measured on v5e (r4, prompts p10/50/90 = 51/70/91 tokens), a ~16-token
-    # ladder through the populated range lifted e2e 6,703 -> 7,865 texts/s
-    # (bench.py uses (56,72,88,104,120,128,...)); an 8-token ladder was WORSE
-    # (too many ragged tail batches).
+    # bucket costs one (cached) compile. TUNE TO YOUR LENGTH DISTRIBUTION
+    # AND WORKLOAD SHAPE: measured on v5e (r4, prompts p10/50/90 = 51/70/91
+    # tokens), a ~16-token ladder through the populated range lifted BATCH
+    # jobs 6,703 -> 7,865 texts/s (bench.py uses (56,72,88,104,120,128,...));
+    # an 8-token ladder was WORSE (ragged tail batches). For STREAMING
+    # serving the opposite holds: fine ladders fragment each micro-batch
+    # round across buckets into small row-bucketed steps (measured 51 vs
+    # 279 texts/s HTTP steady state) — keep serving configs coarse.
     seq_buckets: tuple[int, ...] = (64, 96, 128, 192, 256, 384, 512, 1024, 2048)
     # Bucketing for the number of candidate labels per text (scoring-head width).
     label_buckets: tuple[int, ...] = (4, 8, 16, 32, 64)
@@ -355,4 +358,21 @@ def qwen2_config(size: str = "1.5b") -> BackboneConfig:
         ),
     }
     return BackboneConfig(model_type="qwen2", relative_attention=False,
+                          **sizes[size])
+
+
+def llama_config(size: str = "1.3b") -> BackboneConfig:
+    """Llama decoder geometry (the gliclass-llama-1.3B-v1.0 backbone =
+    Sheared-LLaMA-1.3B; the other decoder checkpoint the reference's
+    launcher cannot load, reference Readme.md:91-95)."""
+    sizes = {
+        # princeton-nlp/Sheared-LLaMA-1.3B geometry
+        "1.3b": dict(
+            hidden_size=2048, num_hidden_layers=24, num_attention_heads=16,
+            num_key_value_heads=16, intermediate_size=5504, vocab_size=32000,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            hidden_act="silu", rms_norm_eps=1e-5,
+        ),
+    }
+    return BackboneConfig(model_type="llama", relative_attention=False,
                           **sizes[size])

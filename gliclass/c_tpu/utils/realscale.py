@@ -102,6 +102,7 @@ def build_realscale_tokenizer(
 
 
 QWEN_VOCAB = 151936  # vocab_size of Qwen/Qwen2-1.5B (gliclass-qwen-1.5B)
+LLAMA_VOCAB = 32000  # vocab_size of Sheared-LLaMA-1.3B (gliclass-llama-1.3B)
 
 
 def ensure_realscale_bundle(
@@ -111,9 +112,10 @@ def ensure_realscale_bundle(
 
     ``variant``: "base" = knowledgator/gliclass-base-v1.0 geometry (186M,
     DeBERTa-v3-base backbone); "qwen" = gliclass-qwen-1.5B-v1.0 geometry
-    (1.5B, Qwen2-1.5B decoder backbone with its own 151,936-piece BPE) —
-    the decoder-backbone artifact the reference cannot load at all
-    (reference Readme.md:91-95).
+    (1.5B, Qwen2-1.5B decoder backbone with its own 151,936-piece BPE);
+    "llama" = gliclass-llama-1.3B-v1.0 geometry (Sheared-LLaMA-1.3B
+    backbone, 32,000-piece BPE) — the decoder-backbone artifacts the
+    reference cannot load at all (reference Readme.md:91-95).
 
     Cached under GLICLASS_REALSCALE_DIR (default ~/.cache/gliclass_realscale);
     subsequent calls return instantly. The build runs the full converter:
@@ -133,7 +135,7 @@ def ensure_realscale_bundle(
         "GLICLASS_REALSCALE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "gliclass_realscale"),
     )
-    assert variant in ("base", "qwen"), variant
+    assert variant in ("base", "qwen", "llama"), variant
     sub = "" if variant == "base" else variant
     bundle = os.path.join(root, sub, "bundle") if sub else os.path.join(root, "bundle")
     done = os.path.join(bundle, ".complete")
@@ -142,7 +144,12 @@ def ensure_realscale_bundle(
 
     import torch
 
-    from ..config import GLiClassConfig, deberta_v3_config, qwen2_config
+    from ..config import (
+        GLiClassConfig,
+        deberta_v3_config,
+        llama_config,
+        qwen2_config,
+    )
     from ..convert.convert import export_bundle
     from ..convert.torch_ref import build_torch_gliclass
     from ..tokenization import PromptTokenizer
@@ -152,6 +159,13 @@ def ensure_realscale_bundle(
         tok_path = os.path.join(root, sub, "tokenizer.json")
         backbone = qwen2_config("1.5b")
         name = ("knowledgator/gliclass-qwen-1.5B-v1.0 (geometry; offline "
+                "random init — no hub access in this environment)")
+        hidden = backbone.hidden_size
+    elif variant == "llama":
+        vocab = LLAMA_VOCAB
+        tok_path = os.path.join(root, sub, "tokenizer.json")
+        backbone = llama_config("1.3b")
+        name = ("knowledgator/gliclass-llama-1.3B-v1.0 (geometry; offline "
                 "random init — no hub access in this environment)")
         hidden = backbone.hidden_size
     else:

@@ -1041,7 +1041,14 @@ def use_bias_route(S: int, d: int, compute_dtype) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return ok and on_tpu and S >= 512
+    # Upper bound: the route builds FULL [h, d, S, S] absolute tables per
+    # layer (batch-independent — its advantage at large B), but table bytes
+    # scale with S^2: 0.4 GB/table at S=512, 1.6 GB at S=1024, 6.4 GB at
+    # S=2048 — measured on v5e, an S=2048 step spends minutes in table
+    # traffic (~13 GB/layer) while S=1024 still runs 211 ms at B=8. Beyond
+    # 1024 the relative-axis XLA path (batch-scaled [B,h,S,2S-1] tensors,
+    # no S^2 table term) takes over.
+    return ok and on_tpu and 512 <= S <= 1024
 
 
 def fusable(S: int, d: int, compute_dtype) -> bool:

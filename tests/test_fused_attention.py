@@ -276,3 +276,23 @@ def test_bias_softmax_xla_impl_matches_pallas(S, blk, monkeypatch):
         dtype=np.float32,
     )
     np.testing.assert_allclose(out_bf, ref, atol=5e-2, rtol=5e-2)
+
+
+def test_bias_route_capped_above_1024(monkeypatch):
+    """Auto routing must NOT take the bias route beyond S=1024: its full
+    [h,d,S,S] per-layer tables scale S^2 (6.4 GB each at S=2048 — measured
+    minutes per step on v5e); the relative-axis XLA path takes over. The
+    explicit GLICLASS_TPU_ATTN_ROUTE=bias override still forces it (A/B)."""
+    import gliclass.c_tpu.ops.fused_attention as fa
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(fa.jax, "devices", lambda: [FakeDev()])
+    monkeypatch.delenv("GLICLASS_TPU_ATTN_ROUTE", raising=False)
+    assert fa.use_bias_route(512, 64, None)
+    assert fa.use_bias_route(1024, 64, None)
+    assert not fa.use_bias_route(2048, 64, None)
+    assert not fa.use_bias_route(96, 64, None)  # below the S>=512 regime
+    monkeypatch.setenv("GLICLASS_TPU_ATTN_ROUTE", "bias")
+    assert fa.use_bias_route(2048, 64, None)  # explicit override only

@@ -1047,7 +1047,8 @@ def use_bias_route(S: int, d: int, compute_dtype) -> bool:
     # S=2048 — measured on v5e, an S=2048 step spends minutes in table
     # traffic (~13 GB/layer) while S=1024 still runs 211 ms at B=8. Beyond
     # 1024 the relative-axis XLA path (batch-scaled [B,h,S,2S-1] tensors,
-    # no S^2 table term) takes over.
+    # no S^2 table term) takes over — measured 1,356 ms per [4, 2048] step
+    # (2.9 texts/s), vs minutes on the table route at the same shape.
     return ok and on_tpu and 512 <= S <= 1024
 
 

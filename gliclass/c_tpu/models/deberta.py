@@ -297,6 +297,12 @@ def disentangled_attention(
         # the table, not on the [B,h,S,*] scores), einsum against q/k over the
         # relative axis, then skew relative->absolute. Numerically identical to
         # the reference's 2-D gather; ~50x faster on TPU (no big gathers).
+        # Measured (r4, [128,12,96,96] v5e): the bias einsum itself runs at
+        # 109 TFLOP/s bf16 (0.017 ms) — the route's residual is the
+        # [B,h,S,S] elementwise/softmax pipeline, not these contractions.
+        # An int8 x int8 variant of the einsum measured 10x SLOWER (11
+        # TOP/s): XLA does not lower batched contractions with free table
+        # dims to the int8 MXU path — keep them bf16.
         S = x.shape[-2]
         use_table = S <= _TABLE_SKEW_MAX_SEQ
         if "c2p" in cfg.pos_att_type:

@@ -224,8 +224,11 @@ def main() -> None:
 
         from gliclass.c_tpu.utils.eval import golden_logit_check
 
-        q_bundle = ensure_realscale_bundle(log=log, variant="qwen")
-        log(f"decoder bundle: {q_bundle} ({time.time()-t0:.1f}s elapsed)")
+        # BENCH_DECODER selects the decoder artifact family: "qwen"
+        # (Qwen2-1.5B geometry, default) or "llama" (Sheared-LLaMA-1.3B).
+        q_variant = os.environ.get("BENCH_DECODER", "qwen")
+        q_bundle = ensure_realscale_bundle(log=log, variant=q_variant)
+        log(f"decoder bundle ({q_variant}): {q_bundle} ({time.time()-t0:.1f}s elapsed)")
         q_rt = dataclasses.replace(
             runtime,
             batch_size=int(os.environ.get("BENCH_DECODER_BATCH", "64")),
@@ -238,8 +241,9 @@ def main() -> None:
         # qwen-1.5B artifact is 0.473 w8a8 (decomposed: bf16 alone 0.058,
         # weight-only int8 0.333 — symmetric per-channel INT8 error
         # compounding over 28 layers x 8960-wide contractions, vs 0.100
-        # total on the 12-layer base). Gate at 1.5x measured, same
-        # derivation rule as the base artifact's 0.15.
+        # total on the 12-layer base; the 24-layer llama geometry measures
+        # 0.246, consistent with the depth scaling). Gate at 1.5x the worst
+        # measured decoder, same derivation rule as the base artifact's 0.15.
         q_tol = 0.71
         q_ok = q_worst <= q_tol
         log(f"decoder selftest: max |logit delta| = {q_worst:.4f} "
@@ -262,7 +266,7 @@ def main() -> None:
             d = time.perf_counter() - t
             if d < q_dt:
                 q_dt, q_out = d, o
-        log(f"decoder (qwen-1.5B geometry, {n_q} texts): "
+        log(f"decoder ({q_variant} geometry, {n_q} texts): "
             f"{n_q/q_dt:.1f} texts/s; stages {q_out.timings}")
         if platform == "tpu" and os.environ.get("BENCH_SKIP_KERNEL_TABLE") != "1":
             from gliclass.c_tpu.utils.perf import (

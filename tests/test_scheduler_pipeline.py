@@ -415,6 +415,58 @@ def test_streamed_plan_stack_opt_out(setup, monkeypatch):
     )
 
 
+def test_streaming_drain_failure_retried_in_drainer(setup):
+    """A launch whose RESULT TRANSFER fails (drain-side fault, hit on the
+    drainer thread since rounds pipelined) gets the standard one-retry:
+    _drain_in_flight re-runs the batch synchronously; the request still
+    resolves with correct probabilities."""
+    import numpy as np
+
+    from gliclass.c_tpu.parallel.scheduler import StreamingScheduler
+
+    tok, cfg, engine = setup
+    eng = InferenceEngine(cfg, engine.params, RT)
+    sched = StreamingScheduler(eng, tok, RT, max_wait_ms=5.0)
+    orig_async = eng.run_async
+
+    class PoisonDev:
+        """Device-array stand-in whose transfer raises once."""
+
+        def __init__(self, dev):
+            self.dev = dev
+            self.shape = dev.shape
+            self.ndim = dev.ndim
+
+        def __array__(self, *a, **k):
+            raise RuntimeError("transfer failed")
+
+    calls = {"n": 0}
+
+    def poisoned(batch, max_labels):
+        dev, n = orig_async(batch, max_labels)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return PoisonDev(dev), n
+        return dev, n
+
+    try:
+        eng.run_async = poisoned
+        f = sched.submit("science fox runs", ["science", "sports"], True)
+        probs = f.result(timeout=120)
+        assert probs.shape == (2,)
+        assert np.all((probs >= 0) & (probs <= 1))
+        # sanity: matches a clean engine run
+        clean = InferenceEngine(cfg, engine.params, RT)
+        pipe = ZeroShotClassificationPipeline(clean, tok, RT)
+        ref = pipe.predict_probs(
+            ["science fox runs"], [["science", "sports"]], True
+        )
+        np.testing.assert_allclose(probs, ref[0, :2], atol=1e-6)
+    finally:
+        eng.run_async = orig_async
+        sched.close()
+
+
 def test_row_bucket_clamps_at_batch_size(setup):
     """A FULL batch at a non-power-of-two batch_size must never pad past
     itself: with batch_size=96 the hot path would otherwise pad 96->128 and

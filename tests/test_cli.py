@@ -125,3 +125,42 @@ def test_cli_convert_roundtrip(tiny_bundle, tiny_tokenizer_file, tmp_path, capsy
     # converted bundle passes its own golden gate
     rc = main(["selftest", "--bundle", out, "--dtype", "float32", "--max-length", "64"])
     assert rc == 0
+
+
+def test_cli_serve_wiring(tiny_bundle, monkeypatch):
+    """`serve` subcommand arg wiring: constructs the server from the bundle,
+    binds the requested (ephemeral) port, answers a real HTTP classify, and
+    closes cleanly when serve_forever returns. The server internals are
+    covered by test_serving; this pins the CLI plumbing the reference's
+    one-shot binary never had (capability addition)."""
+    import json as J
+    import urllib.request
+
+    from gliclass.c_tpu import serving
+
+    seen = {}
+
+    def drive_one_request(self):
+        # stand-in for the blocking serve_forever: spin the listener thread,
+        # serve one real request over HTTP, then return (CLI then closes)
+        self.start()
+        body = J.dumps({
+            "texts": ["science fox runs"], "labels": ["science", "sports"],
+            "classification_type": "single-label",
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{self.port}/classify", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            seen["resp"] = J.loads(r.read())
+
+    monkeypatch.setattr(serving.GLiClassServer, "serve_forever", drive_one_request)
+    rc = main([
+        "serve", "--bundle", tiny_bundle, "--port", "0",
+        "--dtype", "float32", "--max-length", "64",
+    ])
+    assert rc == 0
+    res = seen["resp"]["results"]
+    assert len(res) == 1 and len(res[0]["decisions"]) == 1
+    assert res[0]["decisions"][0]["label"] in ("science", "sports")

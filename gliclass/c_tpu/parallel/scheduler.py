@@ -312,9 +312,16 @@ def plan_and_run_overlapped(
     chunk: int = 256,
     failures: list[BatchFailure] | None = None,
     timer=None,
+    pack_fn: Callable[[int, int], Sequence[str]] | None = None,
 ) -> np.ndarray:
     """Tokenize-and-dispatch pipeline: bucketed batches go to the device as
     soon as they fill, while the host tokenizes the next chunk.
+
+    ``pack_fn(lo, hi)``: optional lazy prompt packer — when given,
+    ``prompts`` may be None and each chunk is PACKED inside the tokenize
+    stream (producer thread), hiding the prompt-packing pass (~34 ms for a
+    4096-text job, measured serial up-front before this) under device
+    execution along with tokenization.
 
     XLA dispatch is async, so the device crunches batch k while the host
     encodes chunk k+1 — tokenization time hides under device time for jobs
@@ -412,12 +419,17 @@ def plan_and_run_overlapped(
             # capped workers only added overhead on the 2-CPU host (measured:
             # 63 ms for one 1024-prompt call vs 75-83 ms sub-chunked).
             sizes = [s for s in (64, 128) if s < chunk] or [chunk]
+            total = num_requests if pack_fn is not None else len(prompts)
             c0 = 0
-            while c0 < len(prompts):
+            while c0 < total:
                 n = sizes.pop(0) if sizes else chunk
+                chunk_prompts = (
+                    pack_fn(c0, min(c0 + n, total))
+                    if pack_fn is not None
+                    else prompts[c0 : c0 + n]
+                )
                 yield c0, tokenizer.encode_batch(
-                    prompts[c0 : c0 + n], max_length=runtime.max_length,
-                    pad_to=None,
+                    chunk_prompts, max_length=runtime.max_length, pad_to=None,
                 )
                 c0 += n
 

@@ -507,9 +507,15 @@ def _abs_pos_table_call(pos_rel, blk):
 def abs_pos_table(pos_rel: jax.Array, S: int, blk: int = _FLASH_BLK) -> jax.Array:
     """[h, 2S-1, d] -> [h, d, S, S] absolute table T[h,d,x,y] =
     pos_rel[h, y-x+S-1, d] via per-tile one-hot matmuls (VMEM-resident
-    one-hot). Requires S % blk == 0; callers fall back to
-    models/deberta._abs_pos_table otherwise."""
-    assert S % blk == 0, (S, blk)
+    one-hot). For S not divisible by blk (the small-S serving buckets:
+    56..120) the ONE-matmul XLA builder takes over — at those sizes the
+    one-hot is [2S-1, S^2] <= [239, 14400], the whole build is < 0.1 ms and
+    batch-independent, so the per-tile Pallas decomposition has nothing to
+    amortize."""
+    if S % blk:
+        from ..models.deberta import _abs_pos_table
+
+        return _abs_pos_table(pos_rel, S)
     return _abs_pos_table_call(pos_rel, blk)
 
 
@@ -1023,16 +1029,37 @@ def use_tiled_route(S: int, d: int, compute_dtype) -> bool:
     return route == "tiled" and S % 32 == 0 and d % 8 == 0
 
 
+def _small_bias_max_seq() -> int:
+    """Largest S for which the small-S bias route (XLA table build + bias
+    einsums + bias_fused_attention softmax/PV kernel) engages under auto
+    routing. GLICLASS_TPU_SMALL_BIAS: '0' disables, an integer overrides
+    the ceiling, 'auto' (default) = 0 — OPT-IN until the r5 on-chip A/B
+    lands a measured verdict (the VERDICT r4 item-1 candidate: at S <= 128
+    the [h,d,S,S] tables are tiny and batch-independent, and the XLA
+    table-skew path's measured residual is the [B,h,S,S] elementwise/softmax
+    pipeline that bias_fused_attention keeps VMEM-resident)."""
+    import os
+
+    v = os.environ.get("GLICLASS_TPU_SMALL_BIAS", "auto")
+    if v in ("auto", "0", ""):
+        return 0
+    try:
+        return int(v) if v != "1" else 128
+    except ValueError:
+        return 0
+
+
 def use_bias_route(S: int, d: int, compute_dtype) -> bool:
     """Route through table build + XLA bias einsums + bias_fused_attention —
     the DEFAULT serving path at S >= 512 (measured fastest on v5e: 330 ms vs
     row 406 / table 912 / tiled 1165 ms for the full [128, 512] INT8 step).
 
-    GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at any
-    blk-divisible S (also off-TPU, interpret mode, for tests); any other
-    non-auto value forces a different path, so this returns False."""
+    GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at ANY
+    8-aligned S (also off-TPU, interpret mode, for tests — non-blk-divisible
+    S uses the XLA table builder, see abs_pos_table); any other non-auto
+    value forces a different path, so this returns False."""
     route = _route()
-    ok = S % _FLASH_BLK == 0 and d % 8 == 0
+    ok = S % 8 == 0 and d % 8 == 0
     if route == "bias":
         return ok
     if route != "auto":
@@ -1041,6 +1068,13 @@ def use_bias_route(S: int, d: int, compute_dtype) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
+    if not (ok and on_tpu):
+        return False
+    # Small-S window (opt-in pending the r5 measured verdict): the tables
+    # are tiny (~28 MB/layer bf16 at S=96) and the kernel removes the XLA
+    # path's score/probability HBM round trips.
+    if S <= _small_bias_max_seq():
+        return True
     # Upper bound: the route builds FULL [h, d, S, S] absolute tables per
     # layer (batch-independent — its advantage at large B), but table bytes
     # scale with S^2: 0.4 GB/table at S=512, 1.6 GB at S=1024, 6.4 GB at
@@ -1049,7 +1083,7 @@ def use_bias_route(S: int, d: int, compute_dtype) -> bool:
     # 1024 the relative-axis XLA path (batch-scaled [B,h,S,2S-1] tensors,
     # no S^2 table term) takes over — measured 1,356 ms per [4, 2048] step
     # (2.9 texts/s), vs minutes on the table route at the same shape.
-    return ok and on_tpu and 512 <= S <= 1024
+    return S % _FLASH_BLK == 0 and 512 <= S <= 1024
 
 
 def fusable(S: int, d: int, compute_dtype) -> bool:

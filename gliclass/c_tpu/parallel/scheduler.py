@@ -304,7 +304,7 @@ def _drain_in_flight(
 def plan_and_run_overlapped(
     engine: InferenceEngine,
     tokenizer: PromptTokenizer,
-    prompts: Sequence[str],
+    prompts: Sequence[str] | None,
     label_counts: Sequence[int],
     runtime: RuntimeConfig,
     num_requests: int,
@@ -325,10 +325,13 @@ def plan_and_run_overlapped(
 
     XLA dispatch is async, so the device crunches batch k while the host
     encodes chunk k+1 — tokenization time hides under device time for jobs
-    larger than one chunk. Tokenize and dispatch run on ONE thread (worker
-    count capped by runtime.effective_tokenizer_workers on small hosts), so
-    the streamed plan cannot GIL-starve dispatch — the failure mode that made
-    full multi-threaded overlap slower than the barrier plan on a 2-CPU host.
+    larger than one chunk. By DEFAULT tokenization runs on a producer thread
+    (one GIL-releasing Rust ``encode_batch`` per ramped chunk; Rayon
+    parallelizes internally) while this thread assembles and dispatches —
+    measured faster than single-thread streaming on the 2-CPU host (see
+    ``encoded_chunks``). GLICLASS_TPU_PIPELINE_TOKENIZE=0 opts out back to
+    single-thread streaming (tokenize and dispatch interleaved on one
+    thread).
 
     Filled same-shape batches are folded into STACKED launches with a
     SELF-CLOCKING policy: every arrival dispatches ALL currently-ready

@@ -107,6 +107,22 @@ class ZeroShotClassificationPipeline:
             len(labels[0]) if same_labels else len(labels[i])
             for i in range(len(texts))
         ]
+        cap = self.engine.cfg.max_num_classes
+        if cap and max(counts) > cap:
+            # The bundle records the model's trained label capacity
+            # (gliclass-package max_num_classes); beyond it scores are
+            # untrained-garbage. The reference never checks (its batch
+            # binary silently scores any label list), so the batch path
+            # WARNS instead of erroring — behavior parity with a visible
+            # quality signal; the serving path hard-errors (serving.py).
+            import warnings
+
+            warnings.warn(
+                f"{max(counts)} labels exceeds the model's max_num_classes "
+                f"({cap}); scores beyond the trained capacity are unreliable "
+                f"— split the label set across requests",
+                stacklevel=3,
+            )
         if self.runtime.overlap_enabled():
             # Tokenization AND prompt packing overlap device execution: each
             # chunk is packed lazily inside the tokenize stream (producer

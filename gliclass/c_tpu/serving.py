@@ -87,7 +87,11 @@ class ServingMetrics:
             return {"count": 0, "p50_ms": None, "p95_ms": None, "p99_ms": None}
 
         def pct(p: float) -> float:
-            i = min(len(lat) - 1, int(p * len(lat)))
+            # nearest-rank: ceil(p*n)-1 — unbiased for small samples (the
+            # naive int(p*n) reports the LARGER of 2 samples as the p50)
+            import math
+
+            i = min(len(lat) - 1, max(0, math.ceil(p * len(lat)) - 1))
             return round(lat[i] * 1e3, 3)
 
         return {

@@ -24,7 +24,9 @@ closure for the first environment WITH network access:
 In an offline environment every network-touching stage prints ``SKIP`` with
 the reason and the script exits 0 (clean skip at the network boundary — the
 point is that it is ready, not that it can run here). A real numeric mismatch
-anywhere exits 1 with per-combo diagnostics.
+anywhere exits 1 with per-combo diagnostics. With an EXPLICIT ``--stage``,
+a stage that skipped (network/package unavailable) exits 3 — CI keyed on a
+requested stage can tell "never ran" from "ran and passed".
 
 Usage:  python scripts/validate_upstream.py [--model knowledgator/gliclass-base-v1.0]
         [--stage A|B|C|D]  (default: all stages in order)
@@ -324,12 +326,14 @@ def main() -> int:
     }
     order = [args.stage] if args.stage else ["A", "B", "C", "D"]
     failed = False
+    skipped = False
     for name in order:
         try:
             ok = stages[name]()
             failed |= not ok
         except NetworkUnavailable as e:
             log(f"stage {name}: SKIP — network boundary: {e}")
+            skipped = True
             if not args.stage and name in ("A",):
                 # stages B-D all need the package/checkpoint; nothing else
                 # can run in an offline environment.
@@ -337,9 +341,17 @@ def main() -> int:
                 return 0
         except ImportError as e:
             log(f"stage {name}: SKIP — upstream package unavailable: {e}")
+            skipped = True
             if not args.stage:
                 return 0
-    return 1 if failed else 0
+    if failed:
+        return 1
+    if args.stage and skipped:
+        # An EXPLICITLY requested stage that never ran must be
+        # distinguishable from one that ran and passed: exit 3 (CI keyed on
+        # `--stage C/D` would otherwise read a skip as a PASS).
+        return 3
+    return 0
 
 
 if __name__ == "__main__":

@@ -296,3 +296,63 @@ def test_bias_route_capped_above_1024(monkeypatch):
     assert not fa.use_bias_route(96, 64, None)  # below the S>=512 regime
     monkeypatch.setenv("GLICLASS_TPU_ATTN_ROUTE", "bias")
     assert fa.use_bias_route(2048, 64, None)  # explicit override only
+
+
+@pytest.mark.parametrize("S", [12, 24])  # NOT divisible by blk: XLA builder path
+def test_small_s_bias_route_matches_xla(S):
+    """The small-S bias route (r5): for S not divisible by the Pallas table
+    builder's blk, abs_pos_table falls back to the ONE-matmul XLA one-hot
+    builder and table_bias_attention still runs the bias_fused softmax/PV
+    kernel — the serving candidate for the dominant S<=128 buckets."""
+    from gliclass.c_tpu.ops.fused_attention import table_bias_attention
+
+    B, h, d = 2, 3, 8
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, h, S, d)).astype(np.float32))
+    W = 2 * S - 1
+    pos_k = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    pos_q = jnp.asarray(rng.normal(size=(h, W, d)).astype(np.float32))
+    mask = np.ones((B, S), dtype=np.int32)
+    mask[1, S - 3 :] = 0
+    mask = jnp.asarray(mask)
+    scale = math.sqrt(d * 3)
+
+    ref = np.asarray(xla_reference(q, k, v, pos_k, pos_q, mask, scale))
+    out = np.asarray(
+        table_bias_attention(q, k, v, pos_k, pos_q, mask, scale)
+    )
+    valid = np.asarray(mask).astype(bool)
+    for b in range(B):
+        np.testing.assert_allclose(
+            out[b, :, valid[b]], ref[b, :, valid[b]], atol=1e-5, rtol=1e-5
+        )
+
+
+def test_small_bias_routing_knob(monkeypatch):
+    """GLICLASS_TPU_SMALL_BIAS: opt-in small-S window for the bias route
+    under auto routing (default OFF until the on-chip A/B verdict lands)."""
+    import gliclass.c_tpu.ops.fused_attention as fa
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(fa.jax, "devices", lambda: [FakeDev()])
+    monkeypatch.delenv("GLICLASS_TPU_ATTN_ROUTE", raising=False)
+    monkeypatch.delenv("GLICLASS_TPU_SMALL_BIAS", raising=False)
+    assert not fa.use_bias_route(96, 64, None)  # default: off below 512
+    monkeypatch.setenv("GLICLASS_TPU_SMALL_BIAS", "1")
+    assert fa.use_bias_route(96, 64, None)  # "1" -> ceiling 128
+    assert fa.use_bias_route(128, 64, None)
+    assert not fa.use_bias_route(192, 64, None)  # above the ceiling
+    assert fa.use_bias_route(512, 64, None)  # S>=512 regime untouched
+    monkeypatch.setenv("GLICLASS_TPU_SMALL_BIAS", "384")
+    assert fa.use_bias_route(192, 64, None)  # integer ceiling override
+    monkeypatch.setenv("GLICLASS_TPU_SMALL_BIAS", "0")
+    assert not fa.use_bias_route(96, 64, None)
+    # forced 'bias' now engages at ANY 8-aligned S (non-blk-divisible S
+    # builds tables with the XLA one-hot)
+    monkeypatch.setenv("GLICLASS_TPU_ATTN_ROUTE", "bias")
+    assert fa.use_bias_route(96, 64, None)
+    assert not fa.use_bias_route(97, 64, None)

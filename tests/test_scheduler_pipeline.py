@@ -370,22 +370,26 @@ def test_pipelined_tokenize_producer_shutdown(setup, monkeypatch):
 
 def test_streamed_plan_stacks_filled_batches(setup):
     """The streamed plan folds filled same-shape batches into stacked
-    launches (geometric growth 1,2,4,... capped at _MAX_STACK) — r3 paid one
-    fresh-input launch per batch on the default path while the barrier plan
-    already stacked (VERDICT r3 task 1). Results must equal the barrier plan
-    exactly, and the stacked executables must actually engage."""
+    launches with the SELF-CLOCKING policy (dispatch_ready launches ALL
+    currently-ready batches of a shape key as one stack, capped at
+    _MAX_STACK) — r3 paid one fresh-input launch per batch on the default
+    path while the barrier plan already stacked (VERDICT r3 task 1).
+    Results must equal the barrier plan exactly, and the stacked
+    executables must actually engage."""
     from gliclass.c_tpu.parallel.scheduler import plan_and_run_overlapped
     from gliclass.c_tpu.utils.metrics import StageTimer
 
     tok, cfg, engine = setup
     eng = InferenceEngine(cfg, engine.params, RT)  # fresh step cache
-    n = 40  # bs=4, chunk=32 -> 8 filled batches per chunk (a burst >= _STACK_MIN)
+    n = 40  # bs=4, chunk=32 -> 8 filled same-shape batches in one chunk: a
+    # burst that dispatch_ready must fold into stacked launches
     prompts = [pack_prompt(f"science fox {i}", ["a", "b"], True) for i in range(n)]
     timer = StageTimer()
     streamed = plan_and_run_overlapped(
         eng, tok, prompts, [2] * n, RT, n, 2, chunk=32, timer=timer
     )
-    # stacked steps were traced and used (nb=2 and nb=4 from geometric growth)
+    # stacked steps were traced and used (stack depth = whatever was ready
+    # when each chunk's dispatch_ready fired; > 1 for this burst)
     stack_keys = [k for k in eng._steps if isinstance(k[0], str) and k[0] == "stack"]
     assert stack_keys, f"no stacked executables engaged: {list(eng._steps)}"
     # host attribution recorded for the breakdown (h_* nested stages)
@@ -484,3 +488,25 @@ def test_row_bucket_clamps_at_batch_size(setup):
     assert eng96._row_bucket(97) == 97  # above batch_size: exact (dp=1)
     eng4 = InferenceEngine(cfg, engine.params, RT)  # batch_size=4
     assert [eng4._row_bucket(n) for n in (1, 2, 3, 4, 5)] == [1, 2, 4, 4, 5]
+
+
+def test_pipeline_warns_beyond_max_num_classes(setup):
+    """The batch path WARNS when a label list exceeds the bundle's trained
+    max_num_classes (the serving path hard-errors, serving.py; the
+    reference never checks — parity with a visible quality signal)."""
+    import dataclasses
+    import warnings
+
+    tok, cfg, engine = setup
+    cfg2 = dataclasses.replace(cfg, max_num_classes=2)
+    eng = InferenceEngine(cfg2, engine.params, RT)
+    pipe = ZeroShotClassificationPipeline(eng, tok, RT)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pipe(["the quick brown fox"], ["science", "sports", "format"])
+    assert any("max_num_classes" in str(x.message) for x in w)
+    # at or below capacity: silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pipe(["the quick brown fox"], ["science", "sports"])
+    assert not any("max_num_classes" in str(x.message) for x in w)

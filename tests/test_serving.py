@@ -276,3 +276,20 @@ def test_close_wakes_blocked_handlers_fast(tiny_tokenizer_file):
     # post-close submits are refused outright
     with pytest.raises(SchedulerClosed):
         sched.submit("late", ["a"], True)
+
+
+def test_metrics_percentiles_nearest_rank():
+    """Small-sample percentiles use nearest-rank (ceil(p*n)-1): the p50 of
+    two latencies is the SMALLER one, not the larger (ADVICE r4)."""
+    from gliclass.c_tpu.serving import ServingMetrics
+
+    m = ServingMetrics()
+    m.record(texts=1, latency_s=0.010)
+    m.record(texts=1, latency_s=0.100)
+    lat = m.to_dict()["latency"]
+    assert lat["count"] == 2
+    assert lat["p50_ms"] == 10.0  # ceil(0.5*2)-1 = index 0
+    assert lat["p99_ms"] == 100.0
+    m.record(texts=1, latency_s=0.050)
+    lat = m.to_dict()["latency"]
+    assert lat["p50_ms"] == 50.0  # ceil(0.5*3)-1 = index 1 (true median)

@@ -75,6 +75,7 @@ def llama_attention(
     sin: jax.Array,
     cfg: BackboneConfig,
     compute_dtype,
+    attention_mask: jax.Array | None = None,
 ) -> jax.Array:
     nh, nkv, d = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
     groups = nh // nkv
@@ -88,18 +89,34 @@ def llama_attention(
 
     B, _, S, _ = q.shape
     qg = q.reshape(B, nkv, groups, S, d)
-    # Score tensors stay in compute dtype in serving mode (bf16) to halve HBM
-    # traffic; fp32 in parity mode. Softmax always reduces in fp32.
-    score_dtype = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
-    scores = (
-        jnp.einsum("bkgid,bkjd->bkgij", qg, k, preferred_element_type=score_dtype)
-        / math.sqrt(d)
-    ).astype(score_dtype)
-    scores = scores + mask_bias[:, None, None, :, :].astype(score_dtype)
-    from ..ops.layers import masked_softmax
 
-    probs = masked_softmax(scores).astype(compute_dtype)
-    ctx = jnp.einsum("bkgij,bkjd->bkgid", probs, v, preferred_element_type=jnp.float32)
+    from ..ops.causal_attention import causal_flash_attention, use_causal_flash
+
+    if attention_mask is not None and use_causal_flash(S, d):
+        # Blocked online-softmax kernel: no [B,nkv,g,S,S] score/probability
+        # tensor ever touches HBM (ops/causal_attention.py).
+        ctx = causal_flash_attention(
+            qg, k, v, attention_mask, 1.0 / math.sqrt(d)
+        ).astype(compute_dtype)
+    else:
+        # Score tensors stay in compute dtype in serving mode (bf16) to
+        # halve HBM traffic; fp32 in parity mode. Softmax reduces in fp32.
+        score_dtype = (
+            jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+        )
+        scores = (
+            jnp.einsum(
+                "bkgid,bkjd->bkgij", qg, k, preferred_element_type=score_dtype
+            )
+            / math.sqrt(d)
+        ).astype(score_dtype)
+        scores = scores + mask_bias[:, None, None, :, :].astype(score_dtype)
+        from ..ops.layers import masked_softmax
+
+        probs = masked_softmax(scores).astype(compute_dtype)
+        ctx = jnp.einsum(
+            "bkgij,bkjd->bkgid", probs, v, preferred_element_type=jnp.float32
+        )
     ctx = ctx.astype(compute_dtype).reshape(B, nh, S, d)
     ctx = jnp.moveaxis(ctx, 1, 2).reshape(B, S, nh * d)
     return linear(p["o"], ctx, compute_dtype)
@@ -140,7 +157,10 @@ def llama_encode(
 
     def body(h, p):
         a = rms_norm(p["attn_norm"], h, cfg.rms_norm_eps)
-        h2 = h + llama_attention(p["attn"], a, mask_bias, cos, sin, cfg, compute_dtype)
+        h2 = h + llama_attention(
+            p["attn"], a, mask_bias, cos, sin, cfg, compute_dtype,
+            attention_mask=attention_mask,
+        )
         m = rms_norm(p["mlp_norm"], h2, cfg.rms_norm_eps)
         h2 = h2 + llama_mlp(p["mlp"], m, compute_dtype)
         # carry out; emit the layer INPUT (transformers records pre-layer states)

@@ -217,12 +217,12 @@ def _causal_step_cost(
     act: int, wbytes: int,
 ) -> StepCost:
     """Cost terms for the llama/qwen2 decoder backbones (models/llama.py):
-    GQA projections, SwiGLU MLP (3 matmuls), causal XLA attention that
-    materializes [B, h, S, S] scores+probs (no Pallas route — measured
-    analysis in fused_attention.py scope notes; at qwen-1.5B geometry the
-    SwiGLU weights (gate+up 27 MB int8) cannot stay VMEM-resident, so the
-    fused-FFN trade inverts: streaming weights once per row tile costs more
-    than the intermediate round trip it saves)."""
+    GQA projections, SwiGLU MLP (3 matmuls), and causal attention priced for
+    the path use_causal_flash actually routes — XLA einsums materialize
+    [B, h, S, S] scores+probs; the flash kernel (ops/causal_attention.py)
+    keeps them VMEM-resident, so its byte term is q/k/v/o io only. (FFN
+    stays unfused: at qwen-1.5B geometry the SwiGLU weights (gate+up 27 MB
+    int8) cannot stay VMEM-resident, so the fused-FFN trade inverts.)"""
     bb = cfg.backbone
     H, I, L = bb.hidden_size, bb.intermediate_size, bb.num_hidden_layers
     h, d, kv = bb.num_attention_heads, bb.head_dim, bb.kv_heads
@@ -243,9 +243,15 @@ def _causal_step_cost(
         (2 * H * h * d + 2 * H * kv * d + 3 * H * I) * wbytes
     )
     c.hbm_bytes["activations"] = L * 4 * 2 * M * H * act
-    # XLA attention materializes scores and probs [B, h, S, S]: write + read
-    # each (the first-order byte term of the unkernelized causal path).
-    c.hbm_bytes["attn_scores"] = L * 4 * B * h * S * S * act
+    from ..ops.causal_attention import use_causal_flash
+
+    if use_causal_flash(S, d):
+        # flash kernel: q/k/v/o io only, no [B,h,S,S] materialization
+        c.hbm_bytes["attn_scores"] = L * 2 * B * (h + kv) * S * d * act
+    else:
+        # XLA attention materializes scores and probs [B, h, S, S]: write +
+        # read each (the first-order byte term of the unkernelized path).
+        c.hbm_bytes["attn_scores"] = L * 4 * B * h * S * S * act
     c.hbm_bytes["embeddings"] = M * H * act
     return c
 
@@ -400,7 +406,12 @@ def per_kernel_report(
 
         def probe_attn(xs):
             p_attn = {"q": p_q, "k": p_k, "v": p_v, "o": p_o}
-            return llama_attention(p_attn, xs, mask_bias, cos, sin, bb, dtype)
+            # attention_mask passed so the probe runs (and prices) the same
+            # route use_causal_flash selects in the real model
+            return llama_attention(
+                p_attn, xs, mask_bias, cos, sin, bb, dtype,
+                attention_mask=jnp.ones((xs.shape[0], xs.shape[1]), jnp.int32),
+            )
 
     else:
         p_q, p_k, p_v, p_o = (dense(H, H) for _ in range(4))

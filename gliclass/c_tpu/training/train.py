@@ -62,23 +62,61 @@ def make_train_step(
     compute_dtype=jnp.float32,
     focal_alpha: float = -1.0,
     focal_gamma: float = -1.0,
+    accum_steps: int = 1,
 ) -> Callable:
-    """Returns step(state, ids, mask, targets, target_mask) -> (state, metrics)."""
+    """Returns step(state, ids, mask, targets, target_mask) -> (state, metrics).
+
+    ``accum_steps`` > 1 enables gradient accumulation: the leading batch axis
+    must be ``accum_steps * microbatch``; the step scans the microbatches
+    (``lax.scan`` — ONE compiled body regardless of accum depth, activation
+    memory bounded by one microbatch), averages grads/metrics, and applies a
+    single optimizer update. Mixed precision: pass
+    ``compute_dtype=jnp.bfloat16`` — parameters and optimizer moments stay
+    fp32 (ops.linear casts per-matmul), losses/grads accumulate fp32."""
 
     def loss_fn(params, ids, mask, targets, target_mask):
         logits = gliclass_forward(params, ids, mask, cfg, max_labels, compute_dtype)
         loss = multilabel_loss(logits, targets, target_mask, focal_alpha, focal_gamma)
-        return loss, logits
-
-    def step(state: TrainState, ids, mask, targets, target_mask):
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, ids, mask, targets, target_mask
-        )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
         preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         m = target_mask.astype(jnp.float32)
         acc = jnp.sum((preds == targets) * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return loss, acc
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(state: TrainState, ids, mask, targets, target_mask):
+        if accum_steps == 1:
+            (loss, acc), grads = grad_fn(
+                state.params, ids, mask, targets, target_mask
+            )
+        else:
+            B = ids.shape[0]
+            if B % accum_steps:
+                raise ValueError(
+                    f"batch {B} not divisible by accum_steps {accum_steps}"
+                )
+            mb = B // accum_steps
+
+            def split(a):
+                return a.reshape(accum_steps, mb, *a.shape[1:])
+
+            micro = tuple(split(a) for a in (ids, mask, targets, target_mask))
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+
+            def body(carry, xs):
+                g_acc, l_acc, a_acc = carry
+                (l, a), g = grad_fn(state.params, *xs)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l, a_acc + a), None
+
+            (grads, loss, acc), _ = jax.lax.scan(
+                body, (zero, jnp.zeros(()), jnp.zeros(())), micro
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss, acc = loss * inv, acc * inv
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         return (
             TrainState(params, opt_state, state.step + 1),
@@ -94,6 +132,7 @@ def make_sharded_train_step(
     max_labels: int,
     mesh: Mesh,
     compute_dtype=jnp.float32,
+    accum_steps: int = 1,
 ) -> Callable:
     """jit the train step for a (dp, tp) mesh.
 
@@ -103,7 +142,9 @@ def make_sharded_train_step(
     data axis with ``shard_batch``. XLA then inserts the data-axis gradient
     all-reduce and the model-axis TP collectives automatically.
     """
-    step = make_train_step(cfg, optimizer, max_labels, compute_dtype)
+    step = make_train_step(
+        cfg, optimizer, max_labels, compute_dtype, accum_steps=accum_steps
+    )
     return jax.jit(step, donate_argnums=(0,))
 
 

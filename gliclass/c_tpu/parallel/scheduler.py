@@ -54,8 +54,22 @@ def plan_batches(
         prompts, max_length=runtime.max_length, pad_to=None,
         chunk_size=128, workers=runtime.tokenizer_workers,
     )
+    return plan_from_encoded(tokenizer, enc, label_counts, runtime)
+
+
+def plan_from_encoded(
+    tokenizer: PromptTokenizer,
+    enc: TokenizedBatch,
+    label_counts: Sequence[int],
+    runtime: RuntimeConfig,
+) -> list[PlannedBatch]:
+    """Bucket/assembly half of :func:`plan_batches` for ALREADY-ENCODED
+    prompts — the streaming scheduler's tokenize stage encodes on its own
+    thread and hands the result here (pipelining tokenize off the dispatch
+    critical path, VERDICT r4 item 4)."""
+    n = len(label_counts)
     buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(len(prompts)):
+    for i in range(n):
         sb = runtime.bucket_for_seq(int(enc.lengths[i]))
         lb = runtime.bucket_for_labels(label_counts[i])
         buckets.setdefault((sb, lb), []).append(i)
@@ -545,13 +559,24 @@ class SchedulerClosed(RuntimeError):
 class StreamingScheduler:
     """Continuous-batching request scheduler for serving.
 
-    Requests are enqueued from any thread; a dispatcher thread micro-batches
-    them (up to ``runtime.batch_size``, waiting at most ``max_wait_ms`` for the
-    batch to fill), groups by shape bucket and dispatches async device
-    launches; a second drainer thread waits out each round's execution and
-    fulfils each request's Future exactly once. The two stages pipeline:
-    round k+1 tokenizes/dispatches while round k's results transfer (the
-    per-round result round trip no longer serializes rounds).
+    Requests are enqueued from any thread and flow through a THREE-stage
+    thread pipeline (VERDICT r4 item 4 — tokenize off the dispatch critical
+    path):
+
+      1. tokenizer thread — micro-batches requests (up to
+         ``runtime.batch_size``, waiting at most ``max_wait_ms`` for the
+         round to fill) and encodes the round's prompts in ONE GIL-releasing
+         Rust ``encode_batch`` call (Rayon-parallel internally);
+      2. dispatcher thread — buckets the encoded round by shape
+         (:func:`plan_from_encoded`), assembles batches and fires async
+         device launches;
+      3. drainer thread — waits out each round's device execution + result
+         transfer and fulfils each request's Future exactly once.
+
+    The stages overlap: round k+2 tokenizes while round k+1 dispatches and
+    round k transfers — neither the Rust BPE nor the ~30 ms tunneled result
+    round trip serializes rounds. ``pipeline_depth`` bounds rounds in flight
+    on device (HBM for round inputs/outputs is bounded by depth).
 
     ``max_pending`` bounds the request queue: submit() raises
     :class:`SchedulerOverloaded` instead of queueing unboundedly (the
@@ -566,28 +591,35 @@ class StreamingScheduler:
         runtime: RuntimeConfig | None = None,
         max_wait_ms: float = 5.0,
         max_pending: int = 4096,
+        pipeline_depth: int = 4,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.runtime = runtime or RuntimeConfig()
         self.max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue[_Request | None] = queue.Queue(maxsize=max_pending)
-        self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
         # Guards the {check _running -> enqueue} pair in submit() against
         # close(): without it a request enqueued between close()'s flag flip
         # and its drain loop would hold a Future that is never resolved (the
         # caller would block until its timeout instead of failing fast).
         self._submit_lock = threading.Lock()
-        # Round pipeline: the dispatcher tokenizes+dispatches round k+1 while
-        # this thread waits out round k's device execution + result transfer
-        # (~30 ms round trip on a tunneled PJRT stack — serialized rounds
-        # made that the per-round latency floor). maxsize=2 bounds how many
-        # rounds can be in flight on device.
-        self._drain_q: queue.Queue = queue.Queue(maxsize=2)
+        # Stage hand-offs. _plan_q carries (reqs, encoded round) from the
+        # tokenizer to the dispatcher; _drain_q carries dispatched rounds to
+        # the drainer. Depth bounds rounds in flight (r4 ran depth 2 with
+        # tokenize inline in the dispatcher; splitting tokenize out and
+        # deepening the queues is what lets short rounds keep the device fed
+        # through the ~30 ms result round trips).
+        self._plan_q: queue.Queue = queue.Queue(maxsize=pipeline_depth)
+        self._drain_q: queue.Queue = queue.Queue(maxsize=pipeline_depth)
+        self._tokenizer_thread = threading.Thread(
+            target=self._tokenize_loop, daemon=True
+        )
+        self._thread = threading.Thread(target=self._loop, daemon=True)
         self._drainer = threading.Thread(target=self._drain_loop, daemon=True)
         self._drainer.start()
         self._thread.start()
+        self._tokenizer_thread.start()
 
     def submit(self, text: str, labels: Sequence[str], prompt_first: bool) -> Future:
         """Returns a Future resolving to probs np.ndarray [len(labels)]."""
@@ -625,9 +657,11 @@ class StreamingScheduler:
             self._q.put(None, timeout=5)
         except queue.Full:
             pass  # loop is draining; it re-checks _running every batch
+        # the tokenizer's finally pushes the plan sentinel; the dispatcher's
+        # finally pushes the drain sentinel; the drainer finishes any
+        # in-flight rounds (fulfilling their futures) then exits
+        self._tokenizer_thread.join(timeout=30)
         self._thread.join(timeout=30)
-        # the dispatcher's finally pushed the drain sentinel; the drainer
-        # finishes any in-flight rounds (fulfilling their futures) then exits
         self._drainer.join(timeout=30)
         while True:
             try:
@@ -659,18 +693,41 @@ class StreamingScheduler:
             reqs.append(r)
         return reqs
 
-    def _loop(self):
+    def _tokenize_loop(self):
+        """Stage 1: collect a round, encode its prompts (one GIL-releasing
+        Rust call), hand (reqs, enc) to the dispatcher."""
         try:
             while self._running:
                 reqs = self._collect()
                 if not reqs:
                     break
                 try:
-                    planned = plan_batches(
-                        self.tokenizer,
+                    enc = self.tokenizer.encode_batch(
                         [r.prompt for r in reqs],
-                        [r.num_labels for r in reqs],
-                        self.runtime,
+                        max_length=self.runtime.max_length,
+                        pad_to=None,
+                    )
+                    self._plan_q.put((reqs, enc))
+                except Exception as e:  # fail this round, keep the loop
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+        finally:
+            self._plan_q.put(None)
+
+    def _loop(self):
+        """Stage 2: bucket + assemble + async dispatch; hand the in-flight
+        round to the drainer."""
+        try:
+            while True:
+                item = self._plan_q.get()
+                if item is None:
+                    break
+                reqs, enc = item
+                try:
+                    planned = plan_from_encoded(
+                        self.tokenizer, enc,
+                        [r.num_labels for r in reqs], self.runtime,
                     )
                     maxw = max(r.num_labels for r in reqs)
                     failures: list[BatchFailure] = []
@@ -678,8 +735,6 @@ class StreamingScheduler:
                     in_flight = dispatch_planned(
                         self.engine, planned, out, maxw, failures
                     )
-                    # Hand the round to the drainer; this thread immediately
-                    # collects/tokenizes/dispatches the next one.
                     self._drain_q.put((reqs, out, maxw, failures, in_flight))
                 except Exception as e:  # fail this round, keep the loop
                     for r in reqs:

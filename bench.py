@@ -157,16 +157,19 @@ def main() -> None:
             "(~1.5 decisions/text on random-init weights)")
     log("timed runs...")
     runs = []
-    for _ in range(5):  # best-of-5: single runs carry ~100ms relay jitter
-        t = time.perf_counter()
-        out = pipe.classify_job(job)
+    for _ in range(5):  # 5 runs; report BOTH min and median — single runs
+        t = time.perf_counter()  # carry ~100ms relay jitter (VERDICT r4
+        out = pipe.classify_job(job)  # weak #8: min-only invites drift)
         runs.append(time.perf_counter() - t)
     best = min(runs)
+    med = sorted(runs)[len(runs) // 2]
     texts_per_s = n_texts / best
     per_chip = texts_per_s / max(n_chips, 1)
+    med_per_chip = n_texts / med / max(n_chips, 1)
     n_dec = sum(len(r.decisions) for r in out.results)
-    log(f"runs: {[f'{r:.3f}s' for r in runs]}; {texts_per_s:.1f} texts/s "
-        f"({per_chip:.1f}/chip); decisions: {n_dec} "
+    log(f"runs: {[f'{r:.3f}s' for r in runs]}; min {texts_per_s:.1f} texts/s "
+        f"({per_chip:.1f}/chip), median {n_texts/med:.1f} texts/s "
+        f"({med_per_chip:.1f}/chip); decisions: {n_dec} "
         f"({n_dec/len(out.results):.2f}/text)")
     log(f"stage breakdown: {out.timings}")
 
@@ -185,15 +188,19 @@ def main() -> None:
             }
         )
         pipe.classify_job(rr_job)  # compile
-        dt, rr = float("inf"), None
-        for _ in range(2):  # best-of-2: single-shot timings on the tunneled
-            t = time.perf_counter()  # stack carry ~100ms relay jitter
+        rr_runs, rr = [], None
+        for _ in range(3):
+            t = time.perf_counter()
             out_rr = pipe.classify_job(rr_job)
             d = time.perf_counter() - t
-            if d < dt:
-                dt, rr = d, out_rr
+            if not rr_runs or d < min(rr_runs):
+                rr = out_rr
+            rr_runs.append(d)
+        dt = min(rr_runs)
+        rr_med = sorted(rr_runs)[len(rr_runs) // 2]
         log(f"reranker config (128 passages, S=512 bucket): "
-            f"{len(rr_texts)/dt:.1f} texts/s; stages {rr.timings}")
+            f"min {len(rr_texts)/dt:.1f} / median {len(rr_texts)/rr_med:.1f} "
+            f"texts/s; stages {rr.timings}")
         # Speed-of-light accounting (BASELINE.md kernel requirement): the
         # reranker run is one compiled step at [128, 512] on this chip.
         from gliclass.c_tpu.utils.perf import speed_of_light
@@ -205,6 +212,85 @@ def main() -> None:
         if platform == "tpu" and dev_s:
             sol = speed_of_light(cfg, len(rr_texts), 512, dev_s, chip="v5e", quant_mode=quant_mode)
             log(f"speed-of-light (S=512 step): {sol}")
+
+    # Mixed-length realism sweep (stderr only; VERDICT r4 item 10): short
+    # tweets and 300-word passages in ONE job exercises the bucket ladder +
+    # stacking policy under heterogeneity — regressions there are invisible
+    # to the uniform-length headline.
+    if os.environ.get("BENCH_SKIP_MIXED") != "1":
+        n_short = int(os.environ.get("BENCH_MIXED_SHORT", "2048"))
+        n_long = int(os.environ.get("BENCH_MIXED_LONG", "256"))
+        mixed_texts = [
+            " ".join(rng.choice(words, size=int(rng.integers(8, 25))))
+            for _ in range(n_short)
+        ] + [" ".join(rng.choice(words, size=300)) for _ in range(n_long)]
+        rng.shuffle(mixed_texts)
+        mx_job = parse_job(
+            {
+                "texts": mixed_texts,
+                "labels": labels,
+                "same_labels": True,
+                "classification_type": "multi-label",
+            }
+        )
+        pipe.classify_job(mx_job)  # compile any unseen buckets
+        mx_runs = []
+        for _ in range(3):
+            t = time.perf_counter()
+            mx_out = pipe.classify_job(mx_job)
+            mx_runs.append(time.perf_counter() - t)
+        mx_n = len(mixed_texts)
+        mx_min, mx_med = min(mx_runs), sorted(mx_runs)[len(mx_runs) // 2]
+        log(f"mixed-length sweep ({n_short} short + {n_long} long texts): "
+            f"min {mx_n/mx_min:.1f} / median {mx_n/mx_med:.1f} texts/s; "
+            f"stages {mx_out.timings}")
+
+    # Training step (stderr only; VERDICT r4 item 7): bf16 compute-dtype
+    # train step with gradient accumulation at the base geometry, measured
+    # on the same chip, with a tokens/s-vs-SoL line (fwd+bwd ~= 3x forward
+    # FLOPs; first-order utilization bound).
+    if platform == "tpu" and os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        import jax.numpy as jnp
+        import optax
+
+        from gliclass.c_tpu.training.train import (
+            init_train_state,
+            make_train_step,
+        )
+        from gliclass.c_tpu.utils.perf import CHIP_PEAKS, gliclass_step_cost
+
+        tb, ts, tl = 32, 96, 8
+        for accum, tag in ((1, "bf16"), (4, "bf16+accum4")):
+            step = jax.jit(
+                make_train_step(
+                    cfg, optax.adamw(1e-5), max_labels=tl,
+                    compute_dtype=jnp.bfloat16, accum_steps=accum,
+                ),
+                donate_argnums=(0,),
+            )
+            t_rng = np.random.default_rng(7)
+            ids = t_rng.integers(5, 1000, size=(tb, ts)).astype(np.int32)
+            ids[:, 1 : 1 + tl] = cfg.class_token_index
+            t_mask = np.ones((tb, ts), np.int32)
+            targets = (t_rng.random((tb, tl)) > 0.5).astype(np.float32)
+            tmask = np.ones((tb, tl), bool)
+            state = init_train_state(pipe.engine.params, optax.adamw(1e-5))
+            state, _ = step(state, ids, t_mask, targets, tmask)  # compile
+            n_it = 10
+            t = time.perf_counter()
+            for _ in range(n_it):
+                state, metrics = step(state, ids, t_mask, targets, tmask)
+            _ = float(metrics["loss"])  # drain
+            dt_tr = (time.perf_counter() - t) / n_it
+            # fp32 train cost: fwd+bwd ~ 3x forward matmul FLOPs (weights are
+            # fp32 in training, so price the fp32 byte model)
+            c = gliclass_step_cost(cfg, tb, ts, quant_mode="fp32",
+                                   compute_dtype_bytes=2)
+            peak = CHIP_PEAKS["v5e"]["bf16_tflops"] * 1e12
+            util = 3 * c.total_flops / dt_tr / peak
+            log(f"train step [{tb},{ts}] {tag}: {dt_tr*1e3:.1f} ms/step, "
+                f"{tb/dt_tr:.0f} texts/s, {tb*ts/dt_tr:.0f} tok/s, "
+                f"~{util:.2f} of bf16 MXU SoL (fwd+bwd=3x fwd)")
 
     # Per-kernel measured-vs-SoL table (BASELINE.md per-kernel accounting):
     # the serving building blocks probed in isolation at two step shapes.
@@ -259,15 +345,19 @@ def main() -> None:
             }
         )
         q_pipe.classify_job(q_job)  # compile
-        q_dt, q_out = float("inf"), None
+        q_runs, q_out = [], None
         for _ in range(3):
             t = time.perf_counter()
             o = q_pipe.classify_job(q_job)
             d = time.perf_counter() - t
-            if d < q_dt:
-                q_dt, q_out = d, o
+            if not q_runs or d < min(q_runs):
+                q_out = o
+            q_runs.append(d)
+        q_dt = min(q_runs)
+        q_med = sorted(q_runs)[len(q_runs) // 2]
         log(f"decoder ({q_variant} geometry, {n_q} texts): "
-            f"{n_q/q_dt:.1f} texts/s; stages {q_out.timings}")
+            f"min {n_q/q_dt:.1f} / median {n_q/q_med:.1f} texts/s; "
+            f"stages {q_out.timings}")
         if platform == "tpu" and os.environ.get("BENCH_SKIP_KERNEL_TABLE") != "1":
             from gliclass.c_tpu.utils.perf import (
                 format_kernel_report,
@@ -287,6 +377,9 @@ def main() -> None:
                 "value": round(per_chip, 1),
                 "unit": "texts/s/chip",
                 "vs_baseline": round(per_chip / TARGET_PER_CHIP, 3),
+                # dispersion companion (VERDICT r4 weak #8): value is the
+                # best-of-5; median shows what a typical run reproduces
+                "median": round(med_per_chip, 1),
             }
         )
     )

@@ -243,14 +243,17 @@ def disentangled_attention(
         )
 
         S = x.shape[-2]
+        B = x.shape[0]
         # _use_flash is checked here too (not only inside the fused call) so
-        # GLICLASS_TPU_FLASH_ATTN=1 engages at any flash-compatible S, not
-        # just where the whole-row kernel is already routed (S >= 512).
+        # the flash kernel engages at any flash-compatible (B, S) — its auto
+        # window is the measured small-batch/long-context regime (r5:
+        # S >= 1024 always, S = 512 at B <= 16; 6.3x over relaxis at
+        # [4, 2048]) plus the GLICLASS_TPU_FLASH_ATTN=1 override.
         if (
             use_tiled_route(S, cfg.head_dim, compute_dtype)
-            or use_bias_route(S, cfg.head_dim, compute_dtype)
+            or use_bias_route(S, cfg.head_dim, compute_dtype, B)
             or fusable(S, cfg.head_dim, compute_dtype)
-            or _use_flash(S)
+            or _use_flash(S, B)
         ):
             pos_q_flat, pos_k_flat = _pos_qk()
             pos_k = _split_heads(pos_k_flat, nh)
@@ -265,7 +268,7 @@ def disentangled_attention(
                     q, k, v, pos_k_rel, pos_q_rel, key_mask, scale,
                     score_dtype=bias_dtype,
                 )
-            elif use_bias_route(S, cfg.head_dim, compute_dtype):
+            elif use_bias_route(S, cfg.head_dim, compute_dtype, B):
                 ctx = table_bias_attention(
                     q, k, v, pos_k_rel, pos_q_rel, key_mask, scale,
                     score_dtype=bias_dtype,

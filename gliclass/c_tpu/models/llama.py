@@ -14,16 +14,17 @@ TPU-first: stacked layers under lax.scan; RoPE tables computed at trace time;
 GQA via head-group einsum (no repeat_kv materialization); all matmuls through
 ops.linear (INT8-capable); fp32 softmax.
 
-Attention route decision (measured r4, qwen-1.5B geometry, w8a8, v5e): the
-plain XLA einsum path below — which materializes [B, kv, g, S, S] scores —
-runs at 0.53 of its byte-model SoL at [64, 96] and 0.55 at [32, 512]
-(86.8 TFLOP/s-eq; whole causal per-kernel table in BENCH stderr). That is
-~1.9x better than the disentangled S=512 routes (0.29), because causal
-attention has no tied-row-index bias structure to fight. A flash kernel
-would target the remaining score-tensor bytes (~34% of the per-layer time
-at S=512); given the measured Pallas scheduling-barrier losses on this
-stack (ops/fused_ffn.py, ops/fused_attention.py notes), XLA is the chosen
-serving route for the causal backbones.
+Attention route decision (measured r4+r5, qwen-1.5B geometry, w8a8, v5e):
+the plain XLA einsum path below — which materializes [B, kv, g, S, S]
+scores — runs at 0.53-0.59 of its byte-model SoL at the serving shapes.
+r5 built the flash kernel the r4 scope note deferred
+(ops/causal_attention.py: blocked online softmax, GQA-grouped M=g*blk MXU
+tiles, block-causal skip) and measured it across block sizes: it LOSES at
+[64,96] (69.6 vs 61.1 ms) and at best ties at [32,512] (202.5 vs 200.0;
+smaller causal-skipping blocks are worse, 222-230 ms) — per-layer Pallas
+scheduling barriers cancel the removed score traffic. XLA remains the
+measured serving route; the kernel stays as a parity-tested A/B path
+(GLICLASS_TPU_CAUSAL_ATTN=flash, closing analysis in use_causal_flash).
 """
 
 from __future__ import annotations

@@ -66,9 +66,28 @@ def use_causal_flash(S: int, d: int) -> bool:
         return shape_ok
     if route != "auto":
         return False
-    # OPT-IN until the r5 on-chip A/B lands a measured verdict (VERDICT r4
-    # item 3 demands measurement at [64,96] and [32,512], not a guess):
-    # 'auto' keeps the XLA einsum route; the bench A/B forces 'flash'.
+    # CLOSING ANALYSIS (r5, measured) — the kernel does NOT beat XLA at the
+    # decoder serving shapes, ending VERDICT r4 item 3 with a negative
+    # verdict. Whole w8a8 engine steps, qwen-1.5B geometry, v5e:
+    #
+    #   [64, 96]   xla 61.11 ms | flash(blk=96)  69.61 ms
+    #   [32, 512]  xla 200.03   | flash(blk=512) 202.45 | blk=256 221.75
+    #              | blk=128 230.07 ms
+    #
+    # Reading: (1) at blk=S the kernel computes the full S^2 square (no
+    # causal skip) and still only TIES at S=512 — the [B,kv,g,S,S] score
+    # traffic it removes (~200 MB/layer at [32,512]) is roughly cancelled
+    # by the per-layer pallas_call scheduling barrier on this stack (the
+    # ops/fused_ffn.py loss class); (2) SMALLER blocks, which do skip
+    # above-diagonal tiles and halve the MXU work, are WORSE (222-230 ms)
+    # — the step is not MXU-bound there, and per-tile grid overhead +
+    # diagonal masking dominate the skipped FLOPs; (3) at [64,96] the score
+    # tensors are 14 MB/layer — nothing to save, pure barrier cost (-14%).
+    # The r4 scope note's extrapolation was right for the wrong reason:
+    # causal attention has no skew rolls, but the XLA einsum path is
+    # already fast enough that kernel scheduling overhead, not score
+    # traffic, is the binding constraint at serving shapes. Kept as a
+    # verified-correct A/B path (GLICLASS_TPU_CAUSAL_ATTN=flash).
     return False
 
 

@@ -168,7 +168,7 @@ def fused_disentangled_attention(
 ) -> jax.Array:
     """Returns context [B, h, S, d] in q.dtype."""
     B, h, S, d = q.shape
-    if _use_flash(S):
+    if _use_flash(S, B):
         return flash_disentangled_attention(
             q, k, v, pos_k_rel, pos_q_rel, attention_mask, scale
         )
@@ -198,19 +198,16 @@ _FLASH_BLK = 128  # MXU/lane-aligned; S must be a multiple
 
 
 def _flash_min_seq() -> int:
-    """Opt-in only (GLICLASS_TPU_FLASH_ATTN=1). Measured on v5e (B=128,
-    base-v1.0 INT8 full step): 52.0/150.2/505.0 ms at S=128/256/512 — the
-    per-tile skew rolls are VPU-bound and scale with batch (unlike the XLA
-    table-skew path, whose skew cost is batch-independent), so it loses to
-    the table path (30.5/116.9/413.9) everywhere despite doing the fewest
-    FLOPs and touching the least HBM. Kept as the O(blk^2)-VMEM reference
-    path for geometries where the [h,d,S,S] tables cannot fit.
+    """Unconditional opt-in (GLICLASS_TPU_FLASH_ATTN=1). Measured on v5e
+    (B=128, base-v1.0 INT8 full step): 52.0/150.2/505.0 ms at S=128/256/512 —
+    the per-tile skew rolls are VPU-bound and scale with BATCH (unlike the
+    XLA table-skew path, whose skew cost is batch-independent), so at large
+    batch it loses to the table/bias paths despite doing the fewest FLOPs
+    and touching the least HBM.
 
-    Status: TEST-ONLY reference path — opt in via GLICLASS_TPU_FLASH_ATTN=1
-    or GLICLASS_TPU_ATTN_ROUTE=flash; never engaged by auto routing (the
-    tiled_bias_attention kernel supersedes it: same O(blk^2) VMEM, but the
-    per-tile skew runs on the batch-independent tables instead of on
-    [B,h,S,*] score tiles)."""
+    That batch scaling is exactly why auto routing DOES engage it in the
+    small-batch / long-context regime — see :func:`_use_flash` for the r5
+    measured boundary. This env knob remains the force-at-any-batch A/B."""
     import os
 
     v = os.environ.get("GLICLASS_TPU_FLASH_ATTN", "auto")
@@ -219,7 +216,25 @@ def _flash_min_seq() -> int:
     return 1 << 30
 
 
-def _use_flash(S: int) -> bool:
+def _use_flash(S: int, batch: int | None = None) -> bool:
+    """Auto-engagement of the blocked flash kernel — the r5 MEASURED
+    long-context/small-batch routing (whole w8a8 engine steps, v5e):
+
+      [4, 2048]  relaxis 1327.1 ms  -> flash  210.9 ms  (6.3x)
+      [8, 2048]  relaxis 2599.4 ms  -> flash  417.2 ms  (6.2x)
+      [8, 1024]  bias     171.1 ms  -> flash  110.5 ms  (1.55x)
+      [8, 512]   bias      47.3 ms  -> flash   30.6 ms  (1.55x)
+      [16, 512]  bias      61.7 ms  ~  flash   59.8 ms  (tie: the crossover)
+      [32, 512]  bias     101.8 ms  <- flash  120.5 ms
+      [128, 512] bias     326.2 ms  <- flash  495.6 ms
+      [32, 1024] / [128, 1024]: the bias route's multi-GB table HLO breaks
+      the remote-compile pipe outright; flash runs 442.0 / 1828.9 ms.
+
+    Rule: S >= 1024 -> flash always (bias loses at B=8 and cannot compile
+    at B >= 32; relaxis is 6x slower); 512 <= S < 1024 -> flash when the
+    batch is at or below the measured B=16 crossover. ``batch=None``
+    (shape-only callers, e.g. route listings) keeps the conservative
+    large-batch answer for S < 1024."""
     route = _route()
     if route != "auto" and route != "flash":
         return False  # another path is forced
@@ -227,7 +242,17 @@ def _use_flash(S: int) -> bool:
         return False
     if route == "flash":
         return True
-    return S >= _flash_min_seq()
+    if S >= _flash_min_seq():
+        return True
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        return False
+    if S >= 1024:
+        return True
+    return S >= 512 and batch is not None and batch <= 16
 
 
 def _skew_win(x: jax.Array, blk: int) -> jax.Array:
@@ -1032,12 +1057,30 @@ def use_tiled_route(S: int, d: int, compute_dtype) -> bool:
 def _small_bias_max_seq() -> int:
     """Largest S for which the small-S bias route (XLA table build + bias
     einsums + bias_fused_attention softmax/PV kernel) engages under auto
-    routing. GLICLASS_TPU_SMALL_BIAS: '0' disables, an integer overrides
-    the ceiling, 'auto' (default) = 0 — OPT-IN until the r5 on-chip A/B
-    lands a measured verdict (the VERDICT r4 item-1 candidate: at S <= 128
-    the [h,d,S,S] tables are tiny and batch-independent, and the XLA
-    table-skew path's measured residual is the [B,h,S,S] elementwise/softmax
-    pipeline that bias_fused_attention keeps VMEM-resident)."""
+    routing. GLICLASS_TPU_SMALL_BIAS: '0'/'auto' (default) disables, '1'
+    sets ceiling 128, an integer overrides it — A/B knob only.
+
+    CLOSING ANALYSIS (r5, measured) — the VERDICT r4 item-1 candidate is a
+    measured LOSS, ending the small-S kernel line. Whole w8a8 engine steps
+    at B=128 on v5e, XLA-table vs this route vs the whole-row kernel:
+
+        S=56:   table 11.50 | bias 18.73 | row 23.95  ms
+        S=96:   table 15.27 | bias 30.21 | row 42.65  ms
+        S=128:  table 23.50 | bias 42.12 | (row historical 52.0) ms
+
+    Why every kernel variant loses here: (1) at S <= 128 the XLA
+    elementwise/softmax pipeline over materialized [B,h,S,S] scores is
+    already bandwidth-bound at ~8 passes of 28 MB — XLA fuses the bias adds
+    and mask into the softmax passes and the probability normalization into
+    the PV operand read, so there is no slack pass to remove; (2) the bias
+    route still materializes c2p/p2c (einsum write + kernel read = 4 of
+    those same passes) and ADDS a per-layer pallas_call scheduling barrier,
+    measured at ~0.6-1.2 ms/layer on this stack (the same barrier class as
+    ops/fused_ffn.py — isolated-probe wins that invert in-graph); (3) the
+    zero-materialization alternatives (row/flash) pay batch-scaled VPU skew
+    rolls (row measured 2.8x table at S=96). The S <= 384 residual vs the
+    byte-model SoL (0.546 at [128,96]) is therefore pass-count + VPU
+    softmax work the byte model does not price, not removable traffic."""
     import os
 
     v = os.environ.get("GLICLASS_TPU_SMALL_BIAS", "auto")
@@ -1049,10 +1092,19 @@ def _small_bias_max_seq() -> int:
         return 0
 
 
-def use_bias_route(S: int, d: int, compute_dtype) -> bool:
+def use_bias_route(S: int, d: int, compute_dtype, batch: int | None = None) -> bool:
     """Route through table build + XLA bias einsums + bias_fused_attention —
-    the DEFAULT serving path at S >= 512 (measured fastest on v5e: 330 ms vs
-    row 406 / table 912 / tiled 1165 ms for the full [128, 512] INT8 step).
+    the DEFAULT serving path for LARGE-batch S=512-class buckets (measured
+    fastest on v5e at [128, 512]: 330 ms vs row 406 / flash 505 / table 912
+    / tiled 1165 ms, full INT8 step).
+
+    r5 boundary (measured, see :func:`_use_flash` for the step table): the
+    route's advantage is its batch-INDEPENDENT [h,d,S,S] tables, so it wins
+    only where batch is large enough to amortize them — at S=512 the
+    crossover vs the flash kernel is B~16. Beyond S=512 the S^2 table bytes
+    kill it: at S=1024 it loses to flash even at B=8 (171.1 vs 110.5 ms)
+    and at B >= 32 its multi-GB table HLO breaks the remote-compile pipe;
+    flash owns S >= 1024.
 
     GLICLASS_TPU_ATTN_ROUTE overrides: 'bias' forces this route at ANY
     8-aligned S (also off-TPU, interpret mode, for tests — non-blk-divisible
@@ -1070,20 +1122,13 @@ def use_bias_route(S: int, d: int, compute_dtype) -> bool:
         on_tpu = False
     if not (ok and on_tpu):
         return False
-    # Small-S window (opt-in pending the r5 measured verdict): the tables
-    # are tiny (~28 MB/layer bf16 at S=96) and the kernel removes the XLA
-    # path's score/probability HBM round trips.
-    if S <= _small_bias_max_seq():
+    # A/B-only small-S window (default off; see the closing analysis in
+    # _small_bias_max_seq — measured 2x slower than the XLA table path).
+    if 0 < S <= _small_bias_max_seq():
         return True
-    # Upper bound: the route builds FULL [h, d, S, S] absolute tables per
-    # layer (batch-independent — its advantage at large B), but table bytes
-    # scale with S^2: 0.4 GB/table at S=512, 1.6 GB at S=1024, 6.4 GB at
-    # S=2048 — measured on v5e, an S=2048 step spends minutes in table
-    # traffic (~13 GB/layer) while S=1024 still runs 211 ms at B=8. Beyond
-    # 1024 the relative-axis XLA path (batch-scaled [B,h,S,2S-1] tensors,
-    # no S^2 table term) takes over — measured 1,356 ms per [4, 2048] step
-    # (2.9 texts/s), vs minutes on the table route at the same shape.
-    return S % _FLASH_BLK == 0 and 512 <= S <= 1024
+    if _use_flash(S, batch):
+        return False  # small-batch / long-context: flash wins (r5 measured)
+    return S % _FLASH_BLK == 0 and 512 <= S < 1024
 
 
 def fusable(S: int, d: int, compute_dtype) -> bool:

@@ -74,10 +74,11 @@ class StepCost:
         return sum(self.hbm_bytes.values())
 
 
-def attn_route_for(seq: int, head_dim: int, compute_dtype=None) -> str:
-    """The attention path models/deberta.py will actually route at this seq —
-    the SAME predicates, in the SAME order (so the cost model can never price
-    a path that isn't running; VERDICT r2 weak #3)."""
+def attn_route_for(seq: int, head_dim: int, compute_dtype=None,
+                   batch: int | None = None) -> str:
+    """The attention path models/deberta.py will actually route at this
+    (batch, seq) — the SAME predicates, in the SAME order (so the cost model
+    can never price a path that isn't running; VERDICT r2 weak #3)."""
     from ..models.deberta import _TABLE_SKEW_MAX_SEQ
     from ..ops.fused_attention import (
         _use_flash,
@@ -88,9 +89,9 @@ def attn_route_for(seq: int, head_dim: int, compute_dtype=None) -> str:
 
     if use_tiled_route(seq, head_dim, compute_dtype):
         return "tiled"
-    if use_bias_route(seq, head_dim, compute_dtype):
+    if use_bias_route(seq, head_dim, compute_dtype, batch):
         return "bias"
-    if _use_flash(seq):
+    if _use_flash(seq, batch):
         return "flash"
     if fusable(seq, head_dim, compute_dtype):
         return "row"
@@ -188,7 +189,7 @@ def gliclass_step_cost(
     c.flops["ffn"] = L * 2 * 2 * M * H * I
     c.flops["attn_content_pv"] = L * 2 * 2 * B * h * S * S * d
     if bb.relative_attention:
-        route = attn_route_for(S, d)
+        route = attn_route_for(S, d, batch=B)
         # c2p + p2c bias einsums (every path does these FLOPs, in- or out-kernel)
         c.flops["attn_rel_bias"] = L * 2 * 2 * B * h * S * S * d
         # position projections of the [2K, H] bucket table (pos_q + pos_k)
@@ -311,7 +312,7 @@ def _component_costs(cfg: GLiClassConfig, batch: int, seq: int,
     if bb.relative_attention:
         attn_flops += 2 * 2 * B * h * S * S * d  # c2p + p2c bias einsums
         attn_flops += 2 * 2 * K2 * H * H  # pos projections
-        route = attn_route_for(S, d)
+        route = attn_route_for(S, d, batch=B)
         extra_flops, extra_bytes = _attn_path_extras(bb, B, S, act, route)
         attn_flops += extra_flops
         attn_bytes += extra_bytes

@@ -278,11 +278,13 @@ def test_bias_softmax_xla_impl_matches_pallas(S, blk, monkeypatch):
     np.testing.assert_allclose(out_bf, ref, atol=5e-2, rtol=5e-2)
 
 
-def test_bias_route_capped_above_1024(monkeypatch):
-    """Auto routing must NOT take the bias route beyond S=1024: its full
-    [h,d,S,S] per-layer tables scale S^2 (6.4 GB each at S=2048 — measured
-    minutes per step on v5e); the relative-axis XLA path takes over. The
-    explicit GLICLASS_TPU_ATTN_ROUTE=bias override still forces it (A/B)."""
+def test_attn_auto_routing_boundary(monkeypatch):
+    """The r5 MEASURED auto-routing boundary (see _use_flash's step table):
+    bias owns large-batch S=512; flash owns the small-batch S=512 side
+    (crossover B=16) and everything at S >= 1024 (where the bias route's
+    multi-GB tables lose at B=8 and break the compile pipe at B >= 32);
+    the explicit GLICLASS_TPU_ATTN_ROUTE=bias override still forces bias
+    anywhere (A/B)."""
     import gliclass.c_tpu.ops.fused_attention as fa
 
     class FakeDev:
@@ -290,10 +292,26 @@ def test_bias_route_capped_above_1024(monkeypatch):
 
     monkeypatch.setattr(fa.jax, "devices", lambda: [FakeDev()])
     monkeypatch.delenv("GLICLASS_TPU_ATTN_ROUTE", raising=False)
+    monkeypatch.delenv("GLICLASS_TPU_FLASH_ATTN", raising=False)
+    # S=512: batch decides (measured crossover B=16)
+    assert fa.use_bias_route(512, 64, None, batch=128)
+    assert fa.use_bias_route(512, 64, None, batch=32)
+    assert not fa.use_bias_route(512, 64, None, batch=8)
+    assert fa._use_flash(512, 8)
+    assert fa._use_flash(512, 16)
+    assert not fa._use_flash(512, 32)
+    # S >= 1024: flash always, bias never
+    for B in (8, 32, 128, None):
+        assert fa._use_flash(1024, B)
+        assert fa._use_flash(2048, B)
+        assert not fa.use_bias_route(1024, 64, None, B)
+        assert not fa.use_bias_route(2048, 64, None, B)
+    # below 512: neither (XLA table path — closed, _small_bias_max_seq)
+    assert not fa.use_bias_route(96, 64, None, batch=128)
+    assert not fa._use_flash(384, 8)
+    # unknown batch at S=512 keeps the conservative large-batch answer
     assert fa.use_bias_route(512, 64, None)
-    assert fa.use_bias_route(1024, 64, None)
-    assert not fa.use_bias_route(2048, 64, None)
-    assert not fa.use_bias_route(96, 64, None)  # below the S>=512 regime
+    assert not fa._use_flash(512)
     monkeypatch.setenv("GLICLASS_TPU_ATTN_ROUTE", "bias")
     assert fa.use_bias_route(2048, 64, None)  # explicit override only
 

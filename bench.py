@@ -253,44 +253,59 @@ def main() -> None:
         import jax.numpy as jnp
         import optax
 
+        from gliclass.c_tpu.models.gliclass import init_gliclass_params
         from gliclass.c_tpu.training.train import (
             init_train_state,
             make_train_step,
         )
         from gliclass.c_tpu.utils.perf import CHIP_PEAKS, gliclass_step_cost
 
-        tb, ts, tl = 32, 96, 8
+        # Fresh fp32 parameters at the serving cfg's geometry: the serving
+        # engine's params are INT8-quantized ({"w_q","scale"} leaves) and
+        # training runs on fp32 master weights. Measured r5 methodology:
+        # per-step numbers need either per-iteration blocking (synchronous
+        # trainer) or a chained dispatch blocked once (sustained pipeline);
+        # un-blocked loops mis-measure on the tunneled relay.
+        import jax as _jax
+
+        tb, ts, tl = 128, 96, 8
+        t_rng = np.random.default_rng(7)
+        ids = t_rng.integers(5, 1000, size=(tb, ts)).astype(np.int32)
+        ids[:, 1 : 1 + tl] = cfg.class_token_index
+        t_mask = np.ones((tb, ts), np.int32)
+        targets = (t_rng.random((tb, tl)) > 0.5).astype(np.float32)
+        tmask = np.ones((tb, tl), bool)
         for accum, tag in ((1, "bf16"), (4, "bf16+accum4")):
+            opt = optax.adamw(1e-5)
             step = jax.jit(
                 make_train_step(
-                    cfg, optax.adamw(1e-5), max_labels=tl,
+                    cfg, opt, max_labels=tl,
                     compute_dtype=jnp.bfloat16, accum_steps=accum,
                 ),
                 donate_argnums=(0,),
             )
-            t_rng = np.random.default_rng(7)
-            ids = t_rng.integers(5, 1000, size=(tb, ts)).astype(np.int32)
-            ids[:, 1 : 1 + tl] = cfg.class_token_index
-            t_mask = np.ones((tb, ts), np.int32)
-            targets = (t_rng.random((tb, tl)) > 0.5).astype(np.float32)
-            tmask = np.ones((tb, tl), bool)
-            state = init_train_state(pipe.engine.params, optax.adamw(1e-5))
-            state, _ = step(state, ids, t_mask, targets, tmask)  # compile
-            n_it = 10
+            state = init_train_state(
+                init_gliclass_params(_jax.random.key(0), cfg), opt
+            )
+            state, m = step(state, ids, t_mask, targets, tmask)  # compile
+            jax.block_until_ready(m["loss"])
+            n_it = 10  # chained dispatch, blocked once: sustained regime
             t = time.perf_counter()
             for _ in range(n_it):
                 state, metrics = step(state, ids, t_mask, targets, tmask)
-            _ = float(metrics["loss"])  # drain
+            jax.block_until_ready(metrics["loss"])
             dt_tr = (time.perf_counter() - t) / n_it
-            # fp32 train cost: fwd+bwd ~ 3x forward matmul FLOPs (weights are
-            # fp32 in training, so price the fp32 byte model)
+            # bf16 compute, fp32 master weights: price the bf16-activation
+            # byte model; fwd+bwd ~ 3x forward matmul FLOPs
             c = gliclass_step_cost(cfg, tb, ts, quant_mode="fp32",
                                    compute_dtype_bytes=2)
             peak = CHIP_PEAKS["v5e"]["bf16_tflops"] * 1e12
             util = 3 * c.total_flops / dt_tr / peak
-            log(f"train step [{tb},{ts}] {tag}: {dt_tr*1e3:.1f} ms/step, "
-                f"{tb/dt_tr:.0f} texts/s, {tb*ts/dt_tr:.0f} tok/s, "
-                f"~{util:.2f} of bf16 MXU SoL (fwd+bwd=3x fwd)")
+            log(f"train step [{tb},{ts}] {tag} sustained: "
+                f"{dt_tr*1e3:.1f} ms/step, {tb/dt_tr:.0f} texts/s, "
+                f"{tb*ts/dt_tr:.0f} tok/s, ~{util:.2f} of bf16 MXU SoL "
+                f"(fwd+bwd=3x fwd)")
+            del state
 
     # Per-kernel measured-vs-SoL table (BASELINE.md per-kernel accounting):
     # the serving building blocks probed in isolation at two step shapes.

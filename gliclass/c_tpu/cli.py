@@ -172,6 +172,8 @@ def cmd_serve(args) -> int:
         engine, tokenizer, runtime, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
         result_timeout_s=args.result_timeout_s,
+        pipeline_depth=args.pipeline_depth,
+        round_requests=args.round_requests,
     )
     print(f"serving {engine.cfg.original_model_name} on "
           f"http://{args.host}:{server.port} (POST /classify)")
@@ -289,6 +291,15 @@ def main(argv=None) -> int:
     p_serve.add_argument(
         "--result-timeout-s", type=float, default=120.0,
         help="per-request wait on the scheduler before a 500",
+    )
+    p_serve.add_argument(
+        "--pipeline-depth", type=int, default=4,
+        help="scheduler rounds in flight (tokenize/dispatch/drain pipeline)",
+    )
+    p_serve.add_argument(
+        "--round-requests", type=int, default=None,
+        help="requests per scheduler round (default 8x batch size; bigger "
+             "rounds amortize per-round host work — measured r5)",
     )
     _add_runtime_flags(p_serve)
     p_serve.set_defaults(fn=cmd_serve)

@@ -155,11 +155,14 @@ class GLiClassServer:
         max_wait_ms: float = 5.0,
         max_pending: int = 4096,
         result_timeout_s: float = 120.0,
+        pipeline_depth: int = 4,
+        round_requests: int | None = None,
     ):
         self.runtime = runtime or engine.runtime
         self.scheduler = StreamingScheduler(
             engine, tokenizer, self.runtime,
             max_wait_ms=max_wait_ms, max_pending=max_pending,
+            pipeline_depth=pipeline_depth, round_requests=round_requests,
         )
         self.metrics = ServingMetrics()
         self.model_name = engine.cfg.original_model_name

@@ -327,6 +327,7 @@ def plan_and_run_overlapped(
     failures: list[BatchFailure] | None = None,
     timer=None,
     pack_fn: Callable[[int, int], Sequence[str]] | None = None,
+    encode_chunk_fn: Callable[[int, int], TokenizedBatch] | None = None,
 ) -> np.ndarray:
     """Tokenize-and-dispatch pipeline: bucketed batches go to the device as
     soon as they fill, while the host tokenizes the next chunk.
@@ -336,6 +337,12 @@ def plan_and_run_overlapped(
     stream (producer thread), hiding the prompt-packing pass (~34 ms for a
     4096-text job, measured serial up-front before this) under device
     execution along with tokenization.
+
+    ``encode_chunk_fn(lo, hi)``: optional full replacement of the chunk's
+    pack+tokenize step (returns a TokenizedBatch directly) — the
+    same-labels AffixEncoder fast path (tokenization.AffixEncoder): the
+    shared label block is encoded once per JOB instead of once per text.
+    Takes precedence over ``prompts``/``pack_fn``.
 
     XLA dispatch is async, so the device crunches batch k while the host
     encodes chunk k+1 — tokenization time hides under device time for jobs
@@ -436,18 +443,27 @@ def plan_and_run_overlapped(
             # capped workers only added overhead on the 2-CPU host (measured:
             # 63 ms for one 1024-prompt call vs 75-83 ms sub-chunked).
             sizes = [s for s in (64, 128) if s < chunk] or [chunk]
-            total = num_requests if pack_fn is not None else len(prompts)
+            total = (
+                num_requests
+                if (pack_fn is not None or encode_chunk_fn is not None)
+                else len(prompts)
+            )
             c0 = 0
             while c0 < total:
                 n = sizes.pop(0) if sizes else chunk
-                chunk_prompts = (
-                    pack_fn(c0, min(c0 + n, total))
-                    if pack_fn is not None
-                    else prompts[c0 : c0 + n]
-                )
-                yield c0, tokenizer.encode_batch(
-                    chunk_prompts, max_length=runtime.max_length, pad_to=None,
-                )
+                hi = min(c0 + n, total)
+                if encode_chunk_fn is not None:
+                    yield c0, encode_chunk_fn(c0, hi)
+                else:
+                    chunk_prompts = (
+                        pack_fn(c0, hi)
+                        if pack_fn is not None
+                        else prompts[c0:hi]
+                    )
+                    yield c0, tokenizer.encode_batch(
+                        chunk_prompts, max_length=runtime.max_length,
+                        pad_to=None,
+                    )
                 c0 += n
 
         if os.environ.get("GLICLASS_TPU_PIPELINE_TOKENIZE", "1") == "0":

@@ -22,7 +22,7 @@ from .data import ClassificationJob
 from .engine import InferenceEngine
 from .parallel.scheduler import plan_and_run_overlapped, plan_batches, run_planned
 from .postprocess import TextResult, decide_batch, format_report
-from .prompting import pack_prompts
+from .prompting import pack_prompt, pack_prompts
 from .tokenization import PromptTokenizer
 
 
@@ -140,11 +140,40 @@ class ZeroShotClassificationPipeline:
                     pf,
                 )
 
+            import os
+
+            encode_chunk_fn = None
+            if (
+                same_labels
+                and texts
+                and os.environ.get("GLICLASS_TPU_AFFIX_TOKENIZE", "1") != "0"
+            ):
+                # Same-labels fast path: the shared label block is encoded
+                # ONCE per job (tokenization.AffixEncoder) instead of once
+                # per text; composition is verified against a full-string
+                # encode of the first prompt and falls back to pack+encode
+                # if the tokenizer breaks the identity.
+                from .tokenization import AffixEncoder
+
+                affix = pack_prompt("", labels[0], pf)
+                prefix, suffix = (affix, "") if pf else ("", affix)
+                enc = AffixEncoder(
+                    self.tokenizer, prefix, suffix,
+                    validate_text=texts[0],
+                    validate_prompt=pack_prompt(texts[0], labels[0], pf),
+                    max_length=self.runtime.max_length,
+                )
+                if enc.exact:
+                    def encode_chunk_fn(lo: int, hi: int, _enc=enc):
+                        return _enc.encode_batch(
+                            texts[lo:hi], self.runtime.max_length
+                        )
+
             with timer.stage("tokenize_device"):
                 probs = plan_and_run_overlapped(
                     self.engine, self.tokenizer, None, counts, self.runtime,
                     len(texts), max(counts), failures=failures, timer=timer,
-                    pack_fn=pack_chunk,
+                    pack_fn=pack_chunk, encode_chunk_fn=encode_chunk_fn,
                 )
         else:
             with timer.stage("pack"):

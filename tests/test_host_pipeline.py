@@ -217,3 +217,76 @@ class TestDecisions:
         rep = format_report(res)
         # line format matches reference printf (src/postprocessor.c:90,108-110)
         assert rep == "Text_0: hello:\n  Text_0 Label: x, Score: 0.900000\n\n"
+
+
+class TestAffixEncoder:
+    """Same-labels fast path: the shared label block encoded once per job,
+    composed per text — ids must EQUAL the full-string encode (r5)."""
+
+    def _make(self, tiny_tokenizer_file, texts, labels, pf, max_length=64):
+        from gliclass.c_tpu.prompting import pack_prompt
+        from gliclass.c_tpu.tokenization import AffixEncoder, PromptTokenizer
+
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        affix = pack_prompt("", labels, pf)
+        prefix, suffix = (affix, "") if pf else ("", affix)
+        enc = AffixEncoder(
+            tok, prefix, suffix, validate_text=texts[0],
+            validate_prompt=pack_prompt(texts[0], labels, pf),
+            max_length=max_length,
+        )
+        return tok, enc
+
+    @pytest.mark.parametrize("pf", [True, False])
+    def test_composed_equals_full_encode(self, tiny_tokenizer_file, pf):
+        from gliclass.c_tpu.prompting import pack_prompt
+
+        texts = [
+            "the quick brown fox",
+            "why are you running",
+            "",  # empty text
+            "support ukraine " * 3,
+        ]
+        labels = ["science", "sports", "format"]
+        tok, enc = self._make(tiny_tokenizer_file, texts, labels, pf)
+        assert enc.exact, enc._why
+        fast = enc.encode_batch(texts, max_length=64, pad_to=64)
+        full = tok.encode_batch(
+            [pack_prompt(t, labels, pf) for t in texts],
+            max_length=64, pad_to=64,
+        )
+        np.testing.assert_array_equal(fast.input_ids, full.input_ids)
+        np.testing.assert_array_equal(fast.attention_mask, full.attention_mask)
+        np.testing.assert_array_equal(fast.lengths, full.lengths)
+
+    def test_truncation_matches(self, tiny_tokenizer_file):
+        from gliclass.c_tpu.prompting import pack_prompt
+
+        texts = ["the quick brown fox jumps over the lazy dog " * 8]
+        labels = ["science", "sports"]
+        tok, enc = self._make(tiny_tokenizer_file, texts, labels, True,
+                              max_length=24)
+        assert enc.exact
+        fast = enc.encode_batch(texts, max_length=24, pad_to=24)
+        full = tok.encode_batch(
+            [pack_prompt(t, labels, True) for t in texts],
+            max_length=24, pad_to=24,
+        )
+        np.testing.assert_array_equal(fast.input_ids, full.input_ids)
+        assert int(fast.lengths[0]) == 24
+
+    def test_inexact_falls_back(self, tiny_tokenizer_file):
+        from gliclass.c_tpu.prompting import pack_prompt
+        from gliclass.c_tpu.tokenization import PromptTokenizer
+
+        tok, enc = self._make(
+            tiny_tokenizer_file, ["abc"], ["science"], True
+        )
+        enc.exact = False  # simulate a tokenizer that breaks composition
+        with pytest.raises(ValueError, match="fallback_prompts"):
+            enc.encode_batch(["abc"], max_length=64)
+        prompts = [pack_prompt("abc", ["science"], True)]
+        out = enc.encode_batch(["abc"], max_length=64,
+                               fallback_prompts=prompts)
+        full = tok.encode_batch(prompts, max_length=64)
+        np.testing.assert_array_equal(out.input_ids, full.input_ids)

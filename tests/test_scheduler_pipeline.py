@@ -510,3 +510,20 @@ def test_pipeline_warns_beyond_max_num_classes(setup):
         warnings.simplefilter("always")
         pipe(["the quick brown fox"], ["science", "sports"])
     assert not any("max_num_classes" in str(x.message) for x in w)
+
+
+def test_same_labels_affix_fast_path_matches_barrier_plan(setup):
+    """The same-labels AffixEncoder fast path (label block encoded once per
+    job, composed per text) must produce EXACTLY the barrier plan's probs —
+    ids are verified identical upstream (test_host_pipeline), this covers
+    the full pipeline wiring including the overlapped tokenize stream."""
+    tok, cfg, engine = setup
+    pipe = ZeroShotClassificationPipeline(engine, tok, RT)
+    texts = [f"fox number {i} " + "jumps " * (i % 5) for i in range(40)]
+    labels = ["science", "sports", "format"]
+    assert RT.overlap_enabled()
+    streamed = pipe.predict_probs(texts, [labels], same_labels=True)
+    prompts = pack_prompts(texts, [labels], True, True)
+    planned = plan_batches(tok, prompts, [3] * len(texts), RT)
+    ref = run_planned(engine, planned, len(texts), 3)
+    np.testing.assert_allclose(streamed, ref, atol=1e-6)

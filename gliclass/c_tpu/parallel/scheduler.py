@@ -556,9 +556,20 @@ def plan_and_run_overlapped(
 # ---------------------------------------------------------------------------
 @dataclass
 class _Request:
-    prompt: str
-    num_labels: int
+    text: str
+    labels: tuple[str, ...]
+    prompt_first: bool
     future: Future = field(default_factory=Future)
+
+    @property
+    def num_labels(self) -> int:
+        return len(self.labels)
+
+    @property
+    def prompt(self) -> str:
+        """Packed prompt — built only on the slow path (the affix fast path
+        never materializes per-request prompt strings)."""
+        return pack_prompt(self.text, list(self.labels), self.prompt_first)
 
 
 class SchedulerOverloaded(RuntimeError):
@@ -647,6 +658,8 @@ class StreamingScheduler:
         # through the ~30 ms result round trips).
         self._plan_q: queue.Queue = queue.Queue(maxsize=pipeline_depth)
         self._drain_q: queue.Queue = queue.Queue(maxsize=pipeline_depth)
+        # per-(labels, prompt_first) AffixEncoder cache (see _encode_round)
+        self._affix_cache: dict[tuple, Any] = {}
         self._tokenizer_thread = threading.Thread(
             target=self._tokenize_loop, daemon=True
         )
@@ -658,8 +671,7 @@ class StreamingScheduler:
 
     def submit(self, text: str, labels: Sequence[str], prompt_first: bool) -> Future:
         """Returns a Future resolving to probs np.ndarray [len(labels)]."""
-        prompt = pack_prompt(text, labels, prompt_first)
-        req = _Request(prompt, len(labels))
+        req = _Request(text, tuple(labels), prompt_first)
         with self._submit_lock:
             if not self._running:
                 raise SchedulerClosed("scheduler is closed")
@@ -730,26 +742,79 @@ class StreamingScheduler:
         return reqs
 
     def _tokenize_loop(self):
-        """Stage 1: collect a round, encode its prompts (one GIL-releasing
-        Rust call), hand (reqs, enc) to the dispatcher."""
+        """Stage 1: collect a round, encode it (GIL-releasing Rust calls),
+        hand (reqs, enc) to the dispatcher."""
         try:
             while self._running:
                 reqs = self._collect()
                 if not reqs:
                     break
                 try:
-                    enc = self.tokenizer.encode_batch(
-                        [r.prompt for r in reqs],
-                        max_length=self.runtime.max_length,
-                        pad_to=None,
-                    )
-                    self._plan_q.put((reqs, enc))
+                    self._plan_q.put((reqs, self._encode_round(reqs)))
                 except Exception as e:  # fail this round, keep the loop
                     for r in reqs:
                         if not r.future.done():
                             r.future.set_exception(e)
         finally:
             self._plan_q.put(None)
+
+    # bounded cache of per-label-set AffixEncoders (serving traffic is
+    # typically a handful of label sets; evict wholesale if a tenant storm
+    # produces unbounded variety)
+    _AFFIX_CACHE_MAX = 64
+
+    def _encode_round(self, reqs: "list[_Request]") -> TokenizedBatch:
+        """Encode one round, grouped by (labels, prompt_first): each group
+        with an EXACT AffixEncoder encodes its texts with the shared label
+        block composed in (tokenization.AffixEncoder — the same fast path
+        the batch pipeline uses, +6% measured there); groups whose
+        tokenizer breaks the composition fall back to pack+encode. Returns
+        one round-level TokenizedBatch in request order."""
+        from ..tokenization import AffixEncoder
+
+        max_length = self.runtime.max_length
+        groups: dict[tuple, list[int]] = {}
+        for i, r in enumerate(reqs):
+            groups.setdefault((r.labels, r.prompt_first), []).append(i)
+
+        parts: list[tuple[list[int], TokenizedBatch]] = []
+        for (labels, pf), idxs in groups.items():
+            texts = [reqs[i].text for i in idxs]
+            enc = self._affix_cache.get((labels, pf))
+            if enc is None:
+                if len(self._affix_cache) >= self._AFFIX_CACHE_MAX:
+                    self._affix_cache.clear()
+                affix = pack_prompt("", list(labels), pf)
+                prefix, suffix = (affix, "") if pf else ("", affix)
+                enc = AffixEncoder(
+                    self.tokenizer, prefix, suffix,
+                    validate_text=texts[0],
+                    validate_prompt=pack_prompt(texts[0], list(labels), pf),
+                    max_length=max_length,
+                )
+                self._affix_cache[(labels, pf)] = enc
+            if enc.exact:
+                tb = enc.encode_batch(texts, max_length)
+            else:
+                tb = self.tokenizer.encode_batch(
+                    [reqs[i].prompt for i in idxs], max_length, pad_to=None
+                )
+            parts.append((idxs, tb))
+
+        if len(parts) == 1:
+            return parts[0][1]
+        n = len(reqs)
+        target = max(tb.seq_length for _, tb in parts)
+        ids = np.full((n, target), self.tokenizer.pad_token_id, dtype=np.int32)
+        mask = np.zeros((n, target), dtype=np.int32)
+        lengths = np.zeros((n,), dtype=np.int32)
+        for idxs, tb in parts:
+            L = tb.seq_length
+            rows = np.asarray(idxs)
+            ids[rows, :L] = tb.input_ids
+            mask[rows, :L] = tb.attention_mask
+            lengths[rows] = tb.lengths
+        return TokenizedBatch(ids, mask, lengths)
 
     def _loop(self):
         """Stage 2: bucket + assemble + async dispatch; hand the in-flight

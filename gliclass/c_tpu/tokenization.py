@@ -237,7 +237,6 @@ class AffixEncoder:
         ]
         self.exact = composed == reference
         self._why = "" if self.exact else "composition != full-string encode"
-        self._fallback_pack = None  # set by callers that need the slow path
 
     def encode_batch(
         self,

@@ -34,6 +34,10 @@ import sys
 import threading
 import time
 
+# Runnable as `python scripts/bench_serving.py` from the repo root without
+# an install: the package lives one directory up.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(msg: str) -> None:
     print(f"[serve-bench] {msg}", file=sys.stderr, flush=True)
@@ -107,9 +111,21 @@ def main() -> int:
     rates = []
     for rep in range(args.repeats):
         sched = make_sched()
-        futs = [sched.submit(t, labels, True) for t in texts[:512]]  # warm
-        for f in futs:
-            f.result(timeout=600)
+        # Warm with two FULL untimed drains: a sustained drain discovers the
+        # whole (row-bucket x stack-depth) executable variety its round
+        # splits produce, and each first-touch costs an in-process
+        # compile-cache LOAD (~0.3 s through the tunnel) even when the
+        # persistent disk cache hits — measured as a deterministic
+        # per-process ramp (1,063 -> 2,768 -> 5,697 req/s over three drains
+        # with only small warmups). Two full drains reach steady state.
+        if rep == 0:
+            for _ in range(2):
+                futs = [
+                    sched.submit(t, labels, True)
+                    for t in texts[: args.requests]
+                ]
+                for f in futs:
+                    f.result(timeout=600)
 
         if args.mode == "backlog":
             t0 = time.perf_counter()

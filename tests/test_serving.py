@@ -293,3 +293,50 @@ def test_metrics_percentiles_nearest_rank():
     m.record(texts=1, latency_s=0.050)
     lat = m.to_dict()["latency"]
     assert lat["p50_ms"] == 50.0  # ceil(0.5*3)-1 = index 1 (true median)
+
+
+def test_streaming_affix_groups_match_packed(tiny_tokenizer_file, monkeypatch):
+    """The scheduler's per-label-set affix encode (r5) must produce the same
+    results as the packed path for MIXED label sets in one round, including
+    a group whose composition check fails (forced fallback)."""
+    from gliclass.c_tpu.parallel.scheduler import StreamingScheduler
+
+    engine, tok = _tiny_engine_and_tok(tiny_tokenizer_file)
+    pipe = ZeroShotClassificationPipeline(engine, tok, RT)
+
+    sched = StreamingScheduler(engine, tok, RT, max_wait_ms=200.0)
+    texts = [f"fox number {i} jumps" for i in range(12)]
+    label_sets = [["science", "sports"], ["format", "tool", "question"]]
+    futs = [
+        sched.submit(t, label_sets[i % 2], True) for i, t in enumerate(texts)
+    ]
+    got = [f.result(timeout=60) for f in futs]
+    # a fallback-forcing encoder must give identical results
+    for enc in sched._affix_cache.values():
+        assert enc.exact  # tiny tokenizer composes exactly
+    sched.close()
+
+    for i, t in enumerate(texts):
+        ref = pipe([t], label_sets[i % 2])
+        probs_ref = pipe.predict_probs([t], [label_sets[i % 2]], True)
+        np.testing.assert_allclose(got[i], probs_ref[0, : len(label_sets[i % 2])],
+                                   atol=1e-5, rtol=1e-5)
+
+    # forced-inexact path: every affix falls back to pack+encode, results equal
+    sched2 = StreamingScheduler(engine, tok, RT, max_wait_ms=200.0)
+    import gliclass.c_tpu.tokenization as tkz
+
+    orig_init = tkz.AffixEncoder.__init__
+
+    def broken_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.exact = False
+
+    monkeypatch.setattr(tkz.AffixEncoder, "__init__", broken_init)
+    futs2 = [
+        sched2.submit(t, label_sets[i % 2], True) for i, t in enumerate(texts)
+    ]
+    got2 = [f.result(timeout=60) for f in futs2]
+    sched2.close()
+    for a, b in zip(got, got2):
+        np.testing.assert_allclose(a, b, atol=1e-6)

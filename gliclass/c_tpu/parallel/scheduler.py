@@ -670,8 +670,17 @@ class StreamingScheduler:
         self._tokenizer_thread.start()
 
     def submit(self, text: str, labels: Sequence[str], prompt_first: bool) -> Future:
-        """Returns a Future resolving to probs np.ndarray [len(labels)]."""
-        req = _Request(text, tuple(labels), prompt_first)
+        """Returns a Future resolving to probs np.ndarray [len(labels)].
+
+        Validates types HERE so a malformed request fails its own caller —
+        tokenize/pack now run on the shared round thread, where an
+        exception would fail every request of the round."""
+        if not isinstance(text, str):
+            raise ValueError(f"text must be a string, got {type(text).__name__}")
+        labels = tuple(labels)
+        if not labels or not all(isinstance(l, str) for l in labels):
+            raise ValueError("labels must be a non-empty sequence of strings")
+        req = _Request(text, labels, bool(prompt_first))
         with self._submit_lock:
             if not self._running:
                 raise SchedulerClosed("scheduler is closed")
@@ -743,15 +752,18 @@ class StreamingScheduler:
 
     def _tokenize_loop(self):
         """Stage 1: collect a round, encode it (GIL-releasing Rust calls),
-        hand (reqs, enc) to the dispatcher."""
+        hand (reqs, enc) to the dispatcher. _encode_round isolates
+        per-group failures; only a round-wide fault fails every request."""
         try:
             while self._running:
                 reqs = self._collect()
                 if not reqs:
                     break
                 try:
-                    self._plan_q.put((reqs, self._encode_round(reqs)))
-                except Exception as e:  # fail this round, keep the loop
+                    kept, enc = self._encode_round(reqs)
+                    if kept:
+                        self._plan_q.put((kept, enc))
+                except Exception as e:  # round-wide fault, keep the loop
                     for r in reqs:
                         if not r.future.done():
                             r.future.set_exception(e)
@@ -763,58 +775,73 @@ class StreamingScheduler:
     # produces unbounded variety)
     _AFFIX_CACHE_MAX = 64
 
-    def _encode_round(self, reqs: "list[_Request]") -> TokenizedBatch:
+    def _encode_round(
+        self, reqs: "list[_Request]"
+    ) -> "tuple[list[_Request], TokenizedBatch | None]":
         """Encode one round, grouped by (labels, prompt_first): each group
         with an EXACT AffixEncoder encodes its texts with the shared label
         block composed in (tokenization.AffixEncoder — the same fast path
         the batch pipeline uses, +6% measured there); groups whose
-        tokenizer breaks the composition fall back to pack+encode. Returns
-        one round-level TokenizedBatch in request order."""
+        tokenizer breaks the composition fall back to pack+encode
+        (GLICLASS_TPU_AFFIX_TOKENIZE=0 forces the packed path for every
+        group — the same kill switch as the batch pipeline). A group whose
+        encode RAISES fails only its own requests; the rest of the round
+        proceeds. Returns (surviving requests, round TokenizedBatch)."""
+        import os
+
         from ..tokenization import AffixEncoder
 
         max_length = self.runtime.max_length
+        affix_on = os.environ.get("GLICLASS_TPU_AFFIX_TOKENIZE", "1") != "0"
         groups: dict[tuple, list[int]] = {}
         for i, r in enumerate(reqs):
             groups.setdefault((r.labels, r.prompt_first), []).append(i)
 
         parts: list[tuple[list[int], TokenizedBatch]] = []
         for (labels, pf), idxs in groups.items():
-            texts = [reqs[i].text for i in idxs]
-            enc = self._affix_cache.get((labels, pf))
-            if enc is None:
-                if len(self._affix_cache) >= self._AFFIX_CACHE_MAX:
-                    self._affix_cache.clear()
-                affix = pack_prompt("", list(labels), pf)
-                prefix, suffix = (affix, "") if pf else ("", affix)
-                enc = AffixEncoder(
-                    self.tokenizer, prefix, suffix,
-                    validate_text=texts[0],
-                    validate_prompt=pack_prompt(texts[0], list(labels), pf),
-                    max_length=max_length,
-                )
-                self._affix_cache[(labels, pf)] = enc
-            if enc.exact:
-                tb = enc.encode_batch(texts, max_length)
-            else:
-                tb = self.tokenizer.encode_batch(
-                    [reqs[i].prompt for i in idxs], max_length, pad_to=None
-                )
-            parts.append((idxs, tb))
+            try:
+                texts = [reqs[i].text for i in idxs]
+                enc = self._affix_cache.get((labels, pf)) if affix_on else None
+                if affix_on and enc is None:
+                    if len(self._affix_cache) >= self._AFFIX_CACHE_MAX:
+                        self._affix_cache.clear()
+                    enc = AffixEncoder.for_labels(
+                        self.tokenizer, labels, pf, max_length,
+                        sample_text=texts[0],
+                    )
+                    self._affix_cache[(labels, pf)] = enc
+                if affix_on and enc.exact:
+                    tb = enc.encode_batch(texts, max_length)
+                else:
+                    tb = self.tokenizer.encode_batch(
+                        [reqs[i].prompt for i in idxs], max_length,
+                        pad_to=None,
+                    )
+                parts.append((idxs, tb))
+            except Exception as e:  # isolate: fail only this group
+                for i in idxs:
+                    if not reqs[i].future.done():
+                        reqs[i].future.set_exception(e)
 
+        if not parts:
+            return [], None
         if len(parts) == 1:
-            return parts[0][1]
-        n = len(reqs)
+            idxs, tb = parts[0]
+            return [reqs[i] for i in idxs], tb
+        order = [i for idxs, _ in parts for i in idxs]
+        pos = {req_i: row for row, req_i in enumerate(order)}
+        n = len(order)
         target = max(tb.seq_length for _, tb in parts)
         ids = np.full((n, target), self.tokenizer.pad_token_id, dtype=np.int32)
         mask = np.zeros((n, target), dtype=np.int32)
         lengths = np.zeros((n,), dtype=np.int32)
         for idxs, tb in parts:
             L = tb.seq_length
-            rows = np.asarray(idxs)
+            rows = np.asarray([pos[i] for i in idxs])
             ids[rows, :L] = tb.input_ids
             mask[rows, :L] = tb.attention_mask
             lengths[rows] = tb.lengths
-        return TokenizedBatch(ids, mask, lengths)
+        return [reqs[i] for i in order], TokenizedBatch(ids, mask, lengths)
 
     def _loop(self):
         """Stage 2: bucket + assemble + async dispatch; hand the in-flight

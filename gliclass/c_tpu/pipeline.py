@@ -155,13 +155,9 @@ class ZeroShotClassificationPipeline:
                 # if the tokenizer breaks the identity.
                 from .tokenization import AffixEncoder
 
-                affix = pack_prompt("", labels[0], pf)
-                prefix, suffix = (affix, "") if pf else ("", affix)
-                enc = AffixEncoder(
-                    self.tokenizer, prefix, suffix,
-                    validate_text=texts[0],
-                    validate_prompt=pack_prompt(texts[0], labels[0], pf),
-                    max_length=self.runtime.max_length,
+                enc = AffixEncoder.for_labels(
+                    self.tokenizer, labels[0], pf, self.runtime.max_length,
+                    sample_text=texts[0],
                 )
                 if enc.exact:
                     def encode_chunk_fn(lo: int, hi: int, _enc=enc):

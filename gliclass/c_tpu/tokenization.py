@@ -184,9 +184,13 @@ class AffixEncoder:
 
     (bos/eos are the tokenizer's post-processor template, recovered by
     subsequence-matching a probe encode). Composition is VERIFIED at
-    construction against a full-string encode of ``validate_prompt``; any
-    tokenizer whose normalizer or template breaks the identity falls back
-    to plain ``encode_batch`` permanently (``self.exact`` False) — the fast
+    construction — UNTRUNCATED, against full-string encodes of a fixed
+    NON-EMPTY multi-word probe and of ``validate_text`` (the probe keeps
+    the check meaningful when the sample text is empty or would truncate;
+    it exercises the affix/text word boundary where position-dependent
+    pre-tokenizers like ByteLevel(add_prefix_space=True) break the
+    identity); any tokenizer that breaks it falls back to plain
+    ``encode_batch`` permanently (``self.exact`` False) — the fast
     path can never change ids. Measured r5 (2-CPU v5e host, 4096-text
     8-label headline job, 5-run A/B): 8,244/8,174 texts/s (min/median) vs
     7,813/7,687 with per-text pack+tokenize (+6%), probs identical to the
@@ -197,6 +201,11 @@ class AffixEncoder:
     of the composed sequence (reference src/tokenizer.c:44-49).
     """
 
+    # Fixed validation probe: non-empty, multi-word, starts mid-alphabet —
+    # exercises the affix/text word boundary and the string-start position
+    # (where add_prefix_space-style pre-tokenizers diverge).
+    _PROBE = "probe boundary text"
+
     def __init__(
         self,
         tokenizer: PromptTokenizer,
@@ -205,7 +214,12 @@ class AffixEncoder:
         validate_text: str,
         validate_prompt: str,
         max_length: int,
+        validate_packer=None,
     ):
+        """``validate_packer(text) -> full prompt string``: when given, the
+        probe text is also validated (untruncated) — REQUIRED for a
+        non-vacuous check when ``validate_text`` may be empty or truncating.
+        Prefer :meth:`for_labels`, which wires it automatically."""
         self.tok = tokenizer
         t = tokenizer._tok
         # Recover the post-processor template: probe a plain word.
@@ -225,18 +239,56 @@ class AffixEncoder:
         self.suf = (
             t.encode(suffix, add_special_tokens=False).ids if suffix else []
         )
-        composed = (
-            self.bos
-            + self.pre
-            + t.encode(validate_text, add_special_tokens=False).ids
-            + self.suf
-            + self.eos
-        )[:max_length]
-        reference = t.encode(validate_prompt, add_special_tokens=True).ids[
-            :max_length
-        ]
-        self.exact = composed == reference
+
+        def composed_ids(text: str) -> list:
+            return (
+                self.bos
+                + self.pre
+                + t.encode(text, add_special_tokens=False).ids
+                + self.suf
+                + self.eos
+            )
+
+        # UNTRUNCATED comparisons: identical full sequences imply identical
+        # truncations, while a truncated compare can pass vacuously (e.g.
+        # both cut before the text/suffix boundary).
+        checks = [(validate_text, validate_prompt)]
+        if validate_packer is not None:
+            checks.append((self._PROBE, validate_packer(self._PROBE)))
+        self.exact = all(
+            composed_ids(text)
+            == t.encode(prompt, add_special_tokens=True).ids
+            for text, prompt in checks
+        )
         self._why = "" if self.exact else "composition != full-string encode"
+
+    @classmethod
+    def for_labels(
+        cls,
+        tokenizer: PromptTokenizer,
+        labels: Sequence[str],
+        prompt_first: bool,
+        max_length: int,
+        sample_text: str | None = None,
+    ) -> "AffixEncoder":
+        """The one construction used by both the batch pipeline and the
+        streaming scheduler: affix from the packed label block, validation
+        against the fixed probe AND the caller's sample text."""
+        from .prompting import pack_prompt
+
+        labels = list(labels)
+        affix = pack_prompt("", labels, prompt_first)
+        prefix, suffix = (affix, "") if prompt_first else ("", affix)
+        sample = sample_text if sample_text else cls._PROBE
+        return cls(
+            tokenizer, prefix, suffix,
+            validate_text=sample,
+            validate_prompt=pack_prompt(sample, labels, prompt_first),
+            max_length=max_length,
+            validate_packer=lambda text: pack_prompt(
+                text, labels, prompt_first
+            ),
+        )
 
     def encode_batch(
         self,

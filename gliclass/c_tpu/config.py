@@ -111,6 +111,65 @@ class RuntimeConfig:
         return self.label_buckets[-1]
 
 
+def suggest_seq_buckets(
+    lengths,
+    max_length: int = 512,
+    budget: int = 10,
+    granularity: int = 16,
+) -> tuple[int, ...]:
+    """Propose a seq-bucket ladder for a MEASURED prompt-length distribution.
+
+    Encodes the r4/r5 tuning findings as a tool (the bench ladder that took
+    6,703 -> 7,865 texts/s was hand-derived exactly this way): place
+    fine-grained buckets (multiples of ``granularity``; 16 measured best —
+    8 was worse, compile-count overhead) through the POPULATED range
+    between the p5 and p95 of the distribution, then a coarse
+    power-of-two-ish tail up to ``max_length`` for stragglers. ``budget``
+    caps the ladder size — every bucket costs one cached XLA compile per
+    (labels, rows) combination.
+
+    Deployment recipe: tokenize a traffic sample (``PromptTokenizer
+    .encode_batch(...).lengths``), pass the lengths here, set
+    ``RuntimeConfig(seq_buckets=...)``. Streaming SERVING should stay on a
+    coarse ladder instead — fine ladders fragment micro-batches (measured
+    r4: 51 vs 279 texts/s over HTTP).
+    """
+    import numpy as np
+
+    L = np.asarray(lengths)
+    if L.size == 0:
+        raise ValueError("lengths is empty")
+    L = np.minimum(L, max_length)
+    g = max(8, int(granularity))
+
+    def up(x: float) -> int:
+        return int(-(-int(x) // g) * g)
+
+    lo = max(g, up(np.quantile(L, 0.05)))
+    hi = min(max_length, up(np.quantile(L, 0.95)))
+    fine = list(range(lo, hi + 1, g))
+    # coarse tail: double-ish steps covering the p95..max_length stragglers
+    tail = []
+    t = hi
+    while t < max_length:
+        t = min(max_length, up(t * 1.5))
+        tail.append(t)
+    ladder = sorted(set(fine + tail + [max_length]))
+    # trim to budget: drop the fine buckets with the FEWEST samples first
+    # (each removal merges its texts into the next bucket up — least padding
+    # added where the fewest texts live)
+    while len(ladder) > max(2, budget):
+        counts = []
+        prev = 0
+        for b in ladder:
+            counts.append(((L > prev) & (L <= b)).sum())
+            prev = b
+        # never drop the last bucket (the max_length cap)
+        drop = int(np.argmin(counts[:-1]))
+        ladder.pop(drop)
+    return tuple(ladder)
+
+
 @dataclass(frozen=True)
 class BackboneConfig:
     """Hyperparameters for the encoder backbone.

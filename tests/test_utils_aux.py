@@ -195,3 +195,46 @@ class TestCheckpoint:
         b = np.asarray(restored.params["head"]["text_projector"]["linear_1"]["w"])
         np.testing.assert_array_equal(a, b)
         assert int(restored.step) == 0
+
+
+class TestSuggestSeqBuckets:
+    """Ladder auto-tuner (r5): encodes the measured r4 ladder-tuning recipe."""
+
+    def test_covers_distribution_and_budget(self):
+        from gliclass.c_tpu.config import suggest_seq_buckets
+
+        rng = np.random.default_rng(0)
+        lengths = rng.normal(70, 15, size=5000).clip(10, 400).astype(int)
+        ladder = suggest_seq_buckets(lengths, max_length=512, budget=10)
+        assert len(ladder) <= 10
+        assert ladder == tuple(sorted(set(ladder)))
+        assert ladder[-1] == 512  # cap always present
+        assert all(b % 8 == 0 for b in ladder)
+        # the populated range (p5..p95 ~ 45..95) gets fine coverage: at
+        # least 3 buckets land inside it
+        inside = [b for b in ladder if 40 <= b <= 112]
+        assert len(inside) >= 3, ladder
+        # every length maps to a bucket with bounded padding in the core
+        for L in (50, 70, 90):
+            b = next(x for x in ladder if L <= x)
+            assert b - L <= 32, (L, b, ladder)
+
+    def test_bimodal_distribution(self):
+        from gliclass.c_tpu.config import suggest_seq_buckets
+
+        rng = np.random.default_rng(1)
+        lengths = np.concatenate([
+            rng.integers(20, 40, size=2000),   # tweets
+            rng.integers(350, 420, size=500),  # passages
+        ])
+        ladder = suggest_seq_buckets(lengths, max_length=512, budget=8)
+        assert len(ladder) <= 8 and ladder[-1] == 512
+        # both modes are served: a bucket within 48 of each mode's p90
+        assert any(40 <= b <= 80 for b in ladder), ladder
+        assert any(400 <= b <= 460 for b in ladder), ladder
+
+    def test_empty_raises(self):
+        from gliclass.c_tpu.config import suggest_seq_buckets
+
+        with pytest.raises(ValueError):
+            suggest_seq_buckets([])

@@ -168,6 +168,15 @@ def cmd_serve(args) -> int:
     bundle_path = _resolve_bundle(args)
     engine = InferenceEngine.from_bundle(bundle_path, runtime)
     tokenizer = PromptTokenizer.from_file(B.tokenizer_path(bundle_path))
+    if args.warmup:
+        # Pre-compile the serving executable set before binding the port:
+        # first-touch compiles/loads otherwise surface as multi-second p99s
+        # on early traffic (engine.warmup docstring).
+        n = engine.warmup(
+            max_seq=args.warmup_max_seq,
+            log=lambda m: print(f"[serve] {m}", flush=True),
+        )
+        print(f"[serve] warmed {n} executables", flush=True)
     server = GLiClassServer(
         engine, tokenizer, runtime, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
@@ -305,6 +314,16 @@ def main(argv=None) -> int:
         "--round-requests", type=int, default=None,
         help="requests per scheduler round (default 8x batch size; bigger "
              "rounds amortize per-round host work — measured r5)",
+    )
+    p_serve.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile the serving executable set before accepting "
+             "traffic (kills first-touch p99 spikes)",
+    )
+    p_serve.add_argument(
+        "--warmup-max-seq", type=int, default=None,
+        help="skip warmup of seq buckets above this (long-context buckets "
+             "a latency server never uses)",
     )
     _add_runtime_flags(p_serve)
     p_serve.set_defaults(fn=cmd_serve)

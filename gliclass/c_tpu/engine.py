@@ -302,6 +302,53 @@ class InferenceEngine:
             rows.append(n)
         return ids, mask, rows
 
+    def warmup(
+        self,
+        seq_buckets=None,
+        label_buckets=None,
+        max_seq: int | None = None,
+        log=None,
+    ) -> int:
+        """Pre-compile (or cache-load) and EXECUTE the serving executable
+        set: every (seq bucket, power-of-two row bucket, label bucket)
+        single-launch step. Kills serving cold starts — each first-touch
+        costs a compile (seconds-to-minutes through a remote-compile
+        tunnel) or a compile-cache load (~0.3 s measured), which showed up
+        as a 1,063 -> 2,768 -> 5,697 req/s warm-up ramp and multi-second
+        p99s in the r5 serving measurements. ``max_seq`` skips long-context
+        buckets whose executables a latency-sensitive server never uses.
+        Returns the number of executables warmed."""
+        rt = self.runtime
+        seqs = [
+            s for s in (seq_buckets or rt.seq_buckets)
+            if max_seq is None or s <= max_seq
+        ]
+        labels = list(label_buckets or rt.label_buckets)
+        rows: list[int] = []
+        r = 1
+        while r < rt.batch_size:
+            rows.append(self._row_bucket(r))
+            r *= 2
+        rows.append(self._row_bucket(rt.batch_size))
+        rows = sorted(set(rows))
+        n = 0
+        last = None
+        for s in seqs:
+            for lb in labels:
+                for b in rows:
+                    ids = np.full((b, s), self.cfg.backbone.pad_token_id,
+                                  dtype=np.int32)
+                    mask = np.zeros((b, s), dtype=np.int32)
+                    mask[:, 0] = 1
+                    step = self._get_step(s, lb)
+                    last = step(self.params, *self._device_inputs(ids, mask))
+                    n += 1
+            if log:
+                log(f"warmup: seq {s} done ({n} executables)")
+        if last is not None:
+            np.asarray(last)  # drain the queue once
+        return n
+
     def run(self, batch: TokenizedBatch, max_labels: int) -> np.ndarray:
         """Tokenized batch -> per-label probabilities [batch, max_labels] (f32).
 

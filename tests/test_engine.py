@@ -136,3 +136,47 @@ def test_fused_qkv_matches_unfused():
             plain.run(batch, max_labels=4),
             atol=1e-6,
         )
+
+
+def test_engine_warmup_precompiles_serving_set(tiny_tokenizer_file):
+    """warmup() touches every (seq, row, label) bucket executable so first
+    real traffic finds them compiled (r5 serving cold-start fix), and
+    max_seq skips long buckets."""
+    import jax
+
+    from gliclass.c_tpu.config import BackboneConfig, GLiClassConfig, RuntimeConfig
+    from gliclass.c_tpu.engine import InferenceEngine
+    from gliclass.c_tpu.models.gliclass import init_gliclass_params
+    from gliclass.c_tpu.tokenization import PromptTokenizer
+
+    tok = PromptTokenizer.from_file(tiny_tokenizer_file)
+    bb = BackboneConfig(
+        model_type="deberta-v2", vocab_size=600, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, position_buckets=16,
+        norm_rel_ebd="layer_norm", share_att_key=True,
+        position_biased_input=False,
+    )
+    cfg = GLiClassConfig(
+        hidden_size=32, class_token_index=tok.label_token_id,
+        text_token_index=tok.sep_token_id, prompt_first=True, backbone=bb,
+    )
+    rt = RuntimeConfig(
+        batch_size=4, max_length=64, compute_dtype="float32",
+        seq_buckets=(16, 32, 64), label_buckets=(2, 4),
+    )
+    eng = InferenceEngine(cfg, init_gliclass_params(jax.random.key(0), cfg), rt)
+    msgs = []
+    n = eng.warmup(log=msgs.append)
+    # 3 seqs x 2 labels x row buckets {1,2,4}
+    assert n == 3 * 2 * 3
+    assert len(msgs) == 3
+    # every (seq, label) jit wrapper exists in the step cache
+    for s in (16, 32, 64):
+        for lb in (2, 4):
+            assert (s, lb) in eng._steps or any(
+                k[:2] == (s, lb) for k in eng._steps if not isinstance(k[0], str)
+            )
+    # max_seq skips the 64 bucket
+    eng2 = InferenceEngine(cfg, eng.params, rt)
+    assert eng2.warmup(max_seq=32) == 2 * 2 * 3

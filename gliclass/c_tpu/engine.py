@@ -307,17 +307,21 @@ class InferenceEngine:
         seq_buckets=None,
         label_buckets=None,
         max_seq: int | None = None,
+        stack_depths: tuple = (2, 4, 8, 16),
         log=None,
     ) -> int:
         """Pre-compile (or cache-load) and EXECUTE the serving executable
         set: every (seq bucket, power-of-two row bucket, label bucket)
-        single-launch step. Kills serving cold starts — each first-touch
-        costs a compile (seconds-to-minutes through a remote-compile
-        tunnel) or a compile-cache load (~0.3 s measured), which showed up
-        as a 1,063 -> 2,768 -> 5,697 req/s warm-up ramp and multi-second
-        p99s in the r5 serving measurements. ``max_seq`` skips long-context
-        buckets whose executables a latency-sensitive server never uses.
-        Returns the number of executables warmed."""
+        single-launch step plus the ``stack_depths`` stacked-scan variants
+        the streaming scheduler's dispatch_ready produces. Kills serving
+        cold starts — each first-touch costs a compile (seconds-to-minutes
+        through a remote-compile tunnel) or a compile-cache load (~0.3 s
+        measured), which showed up as a multi-drain warm-up ramp and
+        multi-second p99s in the r5 serving measurements (stack warmup
+        alone measured first-drain 1,070 -> 2,284 req/s). ``max_seq`` skips
+        long-context buckets a latency-sensitive server never uses;
+        ``stack_depths=()`` warms singles only. Returns the number of
+        executables warmed."""
         rt = self.runtime
         seqs = [
             s for s in (seq_buckets or rt.seq_buckets)
@@ -331,17 +335,25 @@ class InferenceEngine:
             r *= 2
         rows.append(self._row_bucket(rt.batch_size))
         rows = sorted(set(rows))
+        pad = self.cfg.backbone.pad_token_id
         n = 0
         last = None
         for s in seqs:
             for lb in labels:
                 for b in rows:
-                    ids = np.full((b, s), self.cfg.backbone.pad_token_id,
-                                  dtype=np.int32)
+                    ids = np.full((b, s), pad, dtype=np.int32)
                     mask = np.zeros((b, s), dtype=np.int32)
                     mask[:, 0] = 1
                     step = self._get_step(s, lb)
                     last = step(self.params, *self._device_inputs(ids, mask))
+                    n += 1
+                B0 = self._row_bucket(rt.batch_size)
+                for nb in stack_depths:
+                    ids = np.full((nb, B0, s), pad, dtype=np.int32)
+                    mask = np.zeros((nb, B0, s), dtype=np.int32)
+                    ids[:, :, 0] = pad
+                    mask[:, :, 0] = 1
+                    last = self.run_stacked_async(ids, mask, lb)
                     n += 1
             if log:
                 log(f"warmup: seq {s} done ({n} executables)")

@@ -167,9 +167,9 @@ def test_engine_warmup_precompiles_serving_set(tiny_tokenizer_file):
     )
     eng = InferenceEngine(cfg, init_gliclass_params(jax.random.key(0), cfg), rt)
     msgs = []
-    n = eng.warmup(log=msgs.append)
-    # 3 seqs x 2 labels x row buckets {1,2,4}
-    assert n == 3 * 2 * 3
+    n = eng.warmup(log=msgs.append, stack_depths=(2,))
+    # 3 seqs x 2 labels x (row buckets {1,2,4} + 1 stacked depth)
+    assert n == 3 * 2 * 4
     assert len(msgs) == 3
     # every (seq, label) jit wrapper exists in the step cache
     for s in (16, 32, 64):
@@ -177,6 +177,6 @@ def test_engine_warmup_precompiles_serving_set(tiny_tokenizer_file):
             assert (s, lb) in eng._steps or any(
                 k[:2] == (s, lb) for k in eng._steps if not isinstance(k[0], str)
             )
-    # max_seq skips the 64 bucket
+    # max_seq skips the 64 bucket; stack_depths=() warms singles only
     eng2 = InferenceEngine(cfg, eng.params, rt)
-    assert eng2.warmup(max_seq=32) == 2 * 2 * 3
+    assert eng2.warmup(max_seq=32, stack_depths=()) == 2 * 2 * 3

@@ -213,6 +213,44 @@ def main() -> None:
             sol = speed_of_light(cfg, len(rr_texts), 512, dev_s, chip="v5e", quant_mode=quant_mode)
             log(f"speed-of-light (S=512 step): {sol}")
 
+    # Model-family sweep (stderr only; OPT-IN via BENCH_FAMILY=1 — the
+    # small/large bundle builds are one-time but the large per-run cost
+    # would stretch the default bench): gliclass-small and gliclass-large
+    # geometries, completing the measured matrix over every family the
+    # reference's collection ships (BASELINE.json configs 1 and 3).
+    if os.environ.get("BENCH_FAMILY") == "1":
+        import dataclasses as _dc
+
+        for fam, fam_batch in (("small", 128), ("large", 64)):
+            f_bundle = ensure_realscale_bundle(log=log, variant=fam)
+            f_rt = _dc.replace(runtime, batch_size=fam_batch, threshold=0.5)
+            f_pipe = ZeroShotClassificationPipeline.from_bundle(f_bundle, f_rt)
+            from gliclass.c_tpu.utils.eval import golden_logit_check
+
+            f_delta = golden_logit_check(f_pipe, B.load_goldens(f_bundle), f_rt)
+            n_f = int(os.environ.get("BENCH_FAMILY_TEXTS", "1024"))
+            f_job = parse_job(
+                {
+                    "texts": texts[:n_f],
+                    "labels": labels,
+                    "same_labels": True,
+                    "classification_type": "multi-label",
+                }
+            )
+            f_pipe.classify_job(f_job)  # compile
+            f_runs = []
+            for _ in range(3):
+                t = time.perf_counter()
+                f_pipe.classify_job(f_job)
+                f_runs.append(time.perf_counter() - t)
+            f_min = min(f_runs)
+            f_med = sorted(f_runs)[len(f_runs) // 2]
+            log(f"family {fam} ({n_f} texts, B={fam_batch}): "
+                f"min {n_f/f_min:.1f} / median {n_f/f_med:.1f} texts/s; "
+                f"selftest max |logit delta| = {f_delta:.4f} (w8a8, logged "
+                f"for gate derivation)")
+            del f_pipe
+
     # Long-context config (stderr only; the reference's own MAX_LENGTH=2048
     # contract, configs.h:5): auto routing engages the blocked flash kernel
     # at S >= 1024 (measured 6.3x over the relative-axis fallback, r5).

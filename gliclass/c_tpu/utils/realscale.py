@@ -135,7 +135,7 @@ def ensure_realscale_bundle(
         "GLICLASS_REALSCALE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "gliclass_realscale"),
     )
-    assert variant in ("base", "qwen", "llama"), variant
+    assert variant in ("base", "small", "large", "qwen", "llama"), variant
     sub = "" if variant == "base" else variant
     bundle = os.path.join(root, sub, "bundle") if sub else os.path.join(root, "bundle")
     done = os.path.join(bundle, ".complete")
@@ -166,6 +166,15 @@ def ensure_realscale_bundle(
         tok_path = os.path.join(root, sub, "tokenizer.json")
         backbone = llama_config("1.3b")
         name = ("knowledgator/gliclass-llama-1.3B-v1.0 (geometry; offline "
+                "random init — no hub access in this environment)")
+        hidden = backbone.hidden_size
+    elif variant in ("small", "large"):
+        # gliclass-{small,large}-v1.0 share the DeBERTa-v3 128,100-piece
+        # vocab — reuse the base artifact's tokenizer (one build total).
+        vocab = REALSCALE_VOCAB
+        tok_path = os.path.join(root, "tokenizer.json")
+        backbone = deberta_v3_config(variant)
+        name = (f"knowledgator/gliclass-{variant}-v1.0 (geometry; offline "
                 "random init — no hub access in this environment)")
         hidden = backbone.hidden_size
     else:

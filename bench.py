@@ -223,12 +223,14 @@ def main() -> None:
 
         for fam, fam_batch in (("small", 128), ("large", 64)):
             f_bundle = ensure_realscale_bundle(log=log, variant=fam)
-            f_rt = _dc.replace(runtime, batch_size=fam_batch, threshold=0.5)
+            f_rt = _dc.replace(runtime, batch_size=fam_batch)
             f_pipe = ZeroShotClassificationPipeline.from_bundle(f_bundle, f_rt)
             from gliclass.c_tpu.utils.eval import golden_logit_check
 
             f_delta = golden_logit_check(f_pipe, B.load_goldens(f_bundle), f_rt)
-            n_f = int(os.environ.get("BENCH_FAMILY_TEXTS", "1024"))
+            # clamp to the texts actually generated (BENCH_TEXTS may be small)
+            n_f = min(int(os.environ.get("BENCH_FAMILY_TEXTS", "1024")),
+                      len(texts))
             f_job = parse_job(
                 {
                     "texts": texts[:n_f],
@@ -237,16 +239,26 @@ def main() -> None:
                     "classification_type": "multi-label",
                 }
             )
-            f_pipe.classify_job(f_job)  # compile
+            f_warm = f_pipe.classify_job(f_job)  # compile
+            if sum(len(r.decisions) for r in f_warm.results) == 0:
+                # same decision-stage calibration as the headline: the
+                # measured number must include realistic postprocessor work
+                f_thr = float(
+                    np.quantile(f_warm.probs, 1.0 - 1.5 / f_warm.probs.shape[1])
+                )
+                f_rt = _dc.replace(f_rt, threshold=f_thr)
+                f_pipe.runtime = f_rt
             f_runs = []
             for _ in range(3):
                 t = time.perf_counter()
-                f_pipe.classify_job(f_job)
+                f_out = f_pipe.classify_job(f_job)
                 f_runs.append(time.perf_counter() - t)
             f_min = min(f_runs)
             f_med = sorted(f_runs)[len(f_runs) // 2]
+            f_dec = sum(len(r.decisions) for r in f_out.results)
             log(f"family {fam} ({n_f} texts, B={fam_batch}): "
                 f"min {n_f/f_min:.1f} / median {n_f/f_med:.1f} texts/s; "
+                f"{f_dec/max(n_f,1):.2f} decisions/text; "
                 f"selftest max |logit delta| = {f_delta:.4f} (w8a8, logged "
                 f"for gate derivation)")
             del f_pipe
@@ -258,7 +270,8 @@ def main() -> None:
         import dataclasses as _dc
 
         lc_rt = _dc.replace(
-            runtime, batch_size=8, seq_buckets=(2048,), label_buckets=(2,),
+            runtime, batch_size=8, max_length=2048, seq_buckets=(2048,),
+            label_buckets=(2,),
         )
         lc_pipe = ZeroShotClassificationPipeline(
             pipe.engine.__class__(pipe.engine.cfg, pipe.engine.params, lc_rt),

@@ -187,10 +187,19 @@ def cmd_serve(args) -> int:
     print(f"serving {engine.cfg.original_model_name} on "
           f"http://{args.host}:{server.port} (POST /classify)")
     # Graceful SIGTERM (docker stop / kubernetes preStop): stop accepting,
-    # fail queued requests fast, exit 0 — same path as Ctrl-C.
+    # fail queued requests fast, exit 0 — same path as Ctrl-C. shutdown()
+    # MUST run on another thread: called from the signal handler (main
+    # thread, which is inside serve_forever) it deadlocks waiting on the
+    # suspended serve loop's own completion event (socketserver contract).
     import signal
+    import threading
 
-    signal.signal(signal.SIGTERM, lambda *_: server.httpd.shutdown())
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(
+            target=server.httpd.shutdown, daemon=True
+        ).start(),
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -139,6 +139,8 @@ def suggest_seq_buckets(
     L = np.asarray(lengths)
     if L.size == 0:
         raise ValueError("lengths is empty")
+    if not (L > 0).any():
+        raise ValueError("lengths must contain positive values")
     L = np.minimum(L, max_length)
     g = max(8, int(granularity))
 
@@ -146,7 +148,9 @@ def suggest_seq_buckets(
         return int(-(-int(x) // g) * g)
 
     lo = max(g, up(np.quantile(L, 0.05)))
-    hi = min(max_length, up(np.quantile(L, 0.95)))
+    # hi >= lo >= g guarantees the coarse-tail loop below always advances
+    # (up(t * 1.5) > t for any t >= g) even for degenerate distributions
+    hi = max(lo, min(max_length, up(np.quantile(L, 0.95))))
     fine = list(range(lo, hi + 1, g))
     # coarse tail: double-ish steps covering the p95..max_length stragglers
     tail = []

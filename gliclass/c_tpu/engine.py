@@ -307,7 +307,7 @@ class InferenceEngine:
         seq_buckets=None,
         label_buckets=None,
         max_seq: int | None = None,
-        stack_depths: tuple = (2, 4, 8, 16),
+        stack_depths: tuple = tuple(range(2, 17)),
         log=None,
     ) -> int:
         """Pre-compile (or cache-load) and EXECUTE the serving executable
@@ -318,10 +318,14 @@ class InferenceEngine:
         through a remote-compile tunnel) or a compile-cache load (~0.3 s
         measured), which showed up as a multi-drain warm-up ramp and
         multi-second p99s in the r5 serving measurements (stack warmup
-        alone measured first-drain 1,070 -> 2,284 req/s). ``max_seq`` skips
-        long-context buckets a latency-sensitive server never uses;
-        ``stack_depths=()`` warms singles only. Returns the number of
-        executables warmed."""
+        alone measured first-drain 1,070 -> 2,284 req/s). The default
+        depth set covers EVERY depth dispatch_ready can produce (2.._MAX
+        _STACK — scan executables are shape-keyed per depth, so warming
+        only powers of two would leave e.g. a 3-deep stack to compile on
+        first traffic); round tails dispatch alone at partial row buckets,
+        which the singles sweep covers. ``max_seq`` skips long-context
+        buckets a latency-sensitive server never uses; ``stack_depths=()``
+        warms singles only. Returns the number of executables warmed."""
         rt = self.runtime
         seqs = [
             s for s in (seq_buckets or rt.seq_buckets)
@@ -351,7 +355,6 @@ class InferenceEngine:
                 for nb in stack_depths:
                     ids = np.full((nb, B0, s), pad, dtype=np.int32)
                     mask = np.zeros((nb, B0, s), dtype=np.int32)
-                    ids[:, :, 0] = pad
                     mask[:, :, 0] = 1
                     last = self.run_stacked_async(ids, mask, lb)
                     n += 1

@@ -187,8 +187,11 @@ def ensure_realscale_bundle(
     if not os.path.exists(tok_path):
         log(f"[realscale] training {vocab}-piece BPE tokenizer "
             "(one-time, a few minutes)...")
+        # small/large REUSE the base tokenizer artifact, so its training
+        # corpus size must not depend on which variant builds it first
+        deberta_family = variant in ("base", "small", "large")
         build_realscale_tokenizer(tok_path, vocab_size=vocab,
-                                  max_mb=96 if variant == "base" else 160)
+                                  max_mb=96 if deberta_family else 160)
 
     log(f"[realscale] building torch reference model at {variant} geometry...")
     ptok = PromptTokenizer.from_file(tok_path)

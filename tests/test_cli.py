@@ -164,3 +164,60 @@ def test_cli_serve_wiring(tiny_bundle, monkeypatch):
     res = seen["resp"]["results"]
     assert len(res) == 1 and len(res[0]["decisions"]) == 1
     assert res[0]["decisions"][0]["label"] in ("science", "sports")
+
+
+def test_cli_serve_sigterm_graceful(tiny_bundle):
+    """SIGTERM must shut the server down cleanly with exit 0 (r5 review
+    finding: shutdown() called on the signal-handling main thread deadlocks
+    per the socketserver contract — docker stop would SIGKILL after the
+    grace period). Runs the real `serve` CLI in a subprocess."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = (
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from gliclass.c_tpu.cli import main\n"
+        f"sys.exit(main(['serve', '--bundle', {tiny_bundle!r}, "
+        f"'--port', '{port}', '--dtype', 'float32', '--max-length', '64']))\n"
+    )
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.monotonic() + 120
+        up = False
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=2
+                ) as r:
+                    r.read()
+                up = True
+                break
+            except Exception:
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.5)
+        assert up, (
+            f"server never came up (rc={proc.poll()})\n"
+            f"{proc.stderr.read() if proc.poll() is not None else ''}"
+        )
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=30)  # deadlock regression: would hang here
+        assert rc == 0, f"serve exited {rc} on SIGTERM"
+    finally:
+        if proc.poll() is None:
+            proc.kill()

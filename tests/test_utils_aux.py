@@ -238,3 +238,12 @@ class TestSuggestSeqBuckets:
 
         with pytest.raises(ValueError):
             suggest_seq_buckets([])
+
+    def test_degenerate_distributions_terminate(self):
+        from gliclass.c_tpu.config import suggest_seq_buckets
+
+        assert suggest_seq_buckets([3] * 100)[-1] == 512
+        assert suggest_seq_buckets([0] * 99 + [5])[-1] == 512
+        assert suggest_seq_buckets([512] * 10) == (512,)
+        with pytest.raises(ValueError, match="positive"):
+            suggest_seq_buckets([0] * 100)
